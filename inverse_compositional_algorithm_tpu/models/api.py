@@ -1,0 +1,130 @@
+"""User-facing alignment API.
+
+`align(I1, I2, config)` is the one entry point that covers all three
+reference algorithms (quadratic / robust / pyramidal — reference L5 at
+src/inverse_compositional_algorithm.py:17,135,264): nscales=1 gives the
+single-scale solvers, the `robust` field switches quadratic vs IRLS.
+
+Accepts single images [H, W, C] or batches [B, H, W, C] of numpy/JAX
+arrays; compiles one program per (config, shape, dtype) and caches it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlignConfig
+from ..ops.transforms import nparams, pad_params
+from ..ops.warp import warp_image
+from .ic import ICState
+from .pyramidal import pyramidal_solve
+
+__all__ = ["AlignResult", "align", "warp"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AlignResult:
+    """Outputs mirroring the reference's (p, error, DI, Iw) return tuple
+    (src/inverse_compositional_algorithm.py:133), plus per-pair iteration
+    counts and the validity mask of the final warp."""
+
+    p: Any        # [B, 8] padded final parameters (or [8] for single input)
+    error: Any    # [B] final ||dp||
+    niters: Any   # [B] iterations applied at the finest scale
+    di: Any       # [B, H, W, C] final error image Iw - I1
+    iw: Any       # [B, H, W, C] final warped I2
+    valid: Any    # [B, H, W] bool, warp in-domain mask
+
+    def params(self, config: AlignConfig):
+        """Un-padded parameter vector(s) for the configured model."""
+        return self.p[..., : nparams(config.transform)]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _align_batched(i1, i2, p0, config: AlignConfig):
+    state, _ = pyramidal_solve(
+        i1, i2, p0, config.transform,
+        nscales=config.nscales, nu=config.nu, tol=config.tol,
+        max_iter=config.max_iter, robust=config.robust, lam=config.lam,
+        nanifoutside=config.nanifoutside, delta=config.delta,
+        pyramid_method=config.pyramid_method,
+        precondition=config.precondition,
+        hessian_chunk=config.hessian_chunk, verbose=config.verbose,
+    )
+    iw, valid = warp_image(i2, state.p, config.transform, config.delta)
+    if config.nanifoutside:
+        fill = jnp.asarray(jnp.nan, iw.dtype)
+    else:
+        fill = jnp.asarray(0.0, iw.dtype)
+    iw = jnp.where(valid[..., None], iw, fill)
+    di = iw - i1
+    return AlignResult(p=state.p, error=state.error, niters=state.niters,
+                       di=di, iw=iw, valid=valid)
+
+
+def align(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
+          dtype=jnp.float32) -> AlignResult:
+    """Estimate the parametric motion warping I2 onto I1.
+
+    Args:
+      i1, i2: [H, W, C] or [B, H, W, C] images (any float/integer dtype;
+        cast to `dtype`). Pixel range is the caller's business — the
+        reference operates on raw 0..255 values.
+      config: static algorithm configuration.
+      p0: optional warm-start parameters, [k], [8], [B, k] or [B, 8].
+
+    Returns:
+      AlignResult (batch dims match the input rank).
+    """
+    config.validate()
+    i1 = jnp.asarray(i1)
+    i2 = jnp.asarray(i2)
+    if i1.shape != i2.shape:
+        raise ValueError("I1 and I2 must have the same shape")
+    single = i1.ndim == 3
+    if single:
+        i1, i2 = i1[None], i2[None]
+    if i1.ndim != 4:
+        raise ValueError("images must be [H, W, C] or [B, H, W, C]")
+    i1 = i1.astype(dtype)
+    i2 = i2.astype(dtype)
+
+    b = i1.shape[0]
+    if p0 is None:
+        p0 = jnp.zeros((b, 8), dtype)
+    else:
+        p0 = jnp.asarray(p0, dtype)
+        if p0.ndim == 1:
+            p0 = jnp.broadcast_to(pad_params(p0), (b, 8))
+        else:
+            p0 = pad_params(p0)
+
+    res = _align_batched(i1, i2, p0, config)
+    if single:
+        res = AlignResult(p=res.p[0], error=res.error[0], niters=res.niters[0],
+                          di=res.di[0], iw=res.iw[0], valid=res.valid[0])
+    return res
+
+
+def warp(image, p, config: AlignConfig = AlignConfig()):
+    """Warp an image (or batch) by parameters p; NaN/0-fills out-of-domain
+    pixels per config.nanifoutside. Convenience mirror of the reference's
+    `bicubic_interpolation_skimage` / `tf_warp_image` public surface."""
+    image = jnp.asarray(image)
+    single = image.ndim == 3
+    if single:
+        image = image[None]
+    p = jnp.asarray(p, image.dtype)
+    if p.ndim == 1:
+        p = p[None]
+    iw, valid = warp_image(image, pad_params(p), config.transform, config.delta)
+    fill = jnp.nan if config.nanifoutside else 0.0
+    iw = jnp.where(valid[..., None], iw, jnp.asarray(fill, iw.dtype))
+    return (iw[0] if single else iw)

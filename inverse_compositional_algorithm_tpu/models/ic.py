@@ -1,0 +1,190 @@
+"""Single-scale inverse-compositional Gauss-Newton solvers.
+
+One device-resident loop serves both algorithm variants of the reference:
+
+  * quadratic IC  — Hessian precomputed once outside the loop (the defining
+    IC property; reference: src/inverse_compositional_algorithm.py:17-133,
+    H hoist at :102-103 / tf at
+    src/keras-tf/tf_inverse_compositional_algorithm.py:186-189).
+  * robust IRLS   — per-iteration rho' weights and lambda annealing
+    (reference: src/inverse_compositional_algorithm.py:135-261, tf at :339-465).
+
+TPU-first deviations from the reference (documented, all strict upgrades):
+  * the whole iteration runs inside `lax.while_loop` with **per-pair**
+    convergence masking. The reference's TF batch shares one convergence
+    criterion (src/keras-tf/tf_inverse_compositional_algorithm.py:225-232 —
+    its own comment admits the approximation), which forced its eval harness
+    to run batch-of-1. Here each pair freezes independently; the loop exits
+    when every pair has converged. No host syncs anywhere in the loop.
+  * Jacobian columns are Hartley-preconditioned so the 8x8 solve is
+    well-conditioned in float32 (see ops.transforms.param_preconditioner).
+  * the returned error/warped images are recomputed at the *final* p (the
+    reference returns the ones from the second-to-last iterate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cts
+from ..ops.gradients import boundary_band_mask, central_gradients
+from ..ops.normal_equations import (
+    RobustLoss,
+    grad_moments,
+    hessian,
+    residual_moments,
+    rhs,
+    robust_weights,
+    solve_normal,
+)
+from ..ops.transforms import (
+    TransformType,
+    compose_inverse,
+    jacobian_fields,
+    nparams,
+    pad_params,
+    param_preconditioner,
+)
+from ..ops.warp import warp_image
+
+__all__ = ["ICState", "ic_solve"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ICState:
+    """Per-pair solver state carried through the while_loop."""
+
+    p: Any        # [B, 8] padded parameters
+    error: Any    # [B] last applied ||dp||
+    lam: Any      # scalar annealed lambda (robust only)
+    it: Any       # scalar loop iteration
+    niters: Any   # [B] iterations actually applied per pair
+    active: Any   # [B] bool, pair still iterating
+
+
+def _masked_residual(iw, valid, i1, nanifoutside: bool):
+    """DI = Iw - I1 with out-of-domain handling.
+
+    nanifoutside=True: invalid pixels contribute nothing (the reference's
+    NaN-then-fill-zero). False: invalid pixels take value 0.0 in Iw, so
+    DI = -I1 there and they *do* pull on the solution (reference:
+    src/bicubic_interpolation.py:134-147).
+    """
+    if nanifoutside:
+        return (iw - i1) * valid[..., None].astype(iw.dtype)
+    return jnp.where(valid[..., None], iw, jnp.zeros_like(iw)) - i1
+
+
+def ic_solve(
+    i1,
+    i2,
+    p0,
+    ttype: TransformType,
+    *,
+    tol: float = 1e-3,
+    max_iter: int = cts.MAX_ITER,
+    robust: RobustLoss = RobustLoss.QUADRATIC,
+    lam: float = 0.0,
+    nanifoutside: bool = True,
+    delta: int = 10,
+    precondition: bool = True,
+    hessian_chunk: int = 16384,
+    verbose: bool = False,
+):
+    """Estimate p aligning I2 to I1 at a single scale.
+
+    Args:
+      i1, i2: [B, H, W, C] float images (any channel count; the reference
+        requires RGB — src/inverse_compositional_algorithm.py:47-49 — we
+        relax that).
+      p0: [B, 8] padded initial parameters (warm start).
+      ttype: static motion model.
+      robust: QUADRATIC selects the pure IC algorithm; anything else runs
+        IRLS with that rho'.
+      lam: robust threshold; <= 0 enables the LAMBDA_0 -> LAMBDA_N annealing
+        schedule (reference: src/inverse_compositional_algorithm.py:223,235-238).
+
+    Returns:
+      ICState with final parameters, per-pair error and iteration counts.
+    """
+    bsz, hh, ww, _ = i1.shape
+    dt = i1.dtype
+    is_robust = robust is not RobustLoss.QUADRATIC
+
+    ix, iy = central_gradients(i1)
+    if nanifoutside and delta > 0:
+        band = boundary_band_mask(hh, ww, delta).astype(dt)[None, :, :, None]
+        ix = ix * band
+        iy = iy * band
+    gxx, gxy, gyy = grad_moments(ix, iy)
+
+    scale = param_preconditioner(ttype, hh, ww) if precondition else None
+    jx, jy = jacobian_fields(ttype, hh, ww, dtype=dt, scale=scale)
+    live = np.zeros(cts.NPARAMS_MAX, np.float32)
+    live[: nparams(ttype)] = 1.0
+
+    h_quad = None
+    if not is_robust:
+        h_quad = hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk)
+
+    lam0 = lam if lam > 0 else cts.LAMBDA_0
+
+    def body(s: ICState) -> ICState:
+        iw, valid = warp_image(i2, s.p, ttype, delta)
+        di = _masked_residual(iw, valid, i1, nanifoutside)
+
+        if is_robust:
+            rho = robust_weights(di, s.lam, robust)
+            if lam <= 0:
+                # Continuation: shrink lambda each iteration toward LAMBDA_N
+                # (applied after rho, like the reference).
+                lam_next = jnp.where(
+                    s.lam > cts.LAMBDA_N,
+                    jnp.maximum(s.lam * cts.LAMBDA_RATIO, cts.LAMBDA_N),
+                    s.lam,
+                )
+            else:
+                lam_next = s.lam
+            h = hessian(gxx, gxy, gyy, jx, jy, weights=rho, chunk=hessian_chunk)
+        else:
+            rho = None
+            lam_next = s.lam
+            h = h_quad
+
+        u, v = residual_moments(ix, iy, di)
+        b = rhs(u, v, jx, jy, weights=rho)
+        dp, err = solve_normal(h, b, live, precond=scale)
+
+        p_new = compose_inverse(s.p, pad_params(dp), ttype)
+        act = s.active
+        p = jnp.where(act[:, None], p_new, s.p)
+        error = jnp.where(act, err, s.error)
+        niters = s.niters + act.astype(s.niters.dtype)
+        still = act & (err > tol)
+        still = still & (s.it + 1 < max_iter)
+
+        if verbose:
+            jax.debug.print(
+                "iter {i}: |Dp|={e} p={p} lambda={l}",
+                i=s.it, e=error, p=p, l=s.lam, ordered=True,
+            )
+
+        return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
+                       niters=niters, active=still)
+
+    init = ICState(
+        p=pad_params(jnp.asarray(p0, dt)),
+        error=jnp.full((bsz,), 1e10, dt),
+        lam=jnp.asarray(lam0, dt),
+        it=jnp.asarray(0, jnp.int32),
+        niters=jnp.zeros((bsz,), jnp.int32),
+        active=jnp.ones((bsz,), bool),
+    )
+    return jax.lax.while_loop(lambda s: jnp.any(s.active), body, init)

@@ -1,0 +1,124 @@
+"""Coarse-to-fine pyramid construction.
+
+Gaussian presmoothing followed by bicubic resampling, with two selectable
+smoothing conventions:
+
+  * "ipol"     : sigma = ZOOM_SIGMA_ZERO * sqrt(1/nu^2 - 1), sampling at
+                 input_coord = output_coord / nu — the faithful IPOL
+                 downsample (reference: src/zoom.py:29-60), which is what the
+                 stored C++ golden traces used.
+  * "antialias": sigma = (1/nu - 1) / 2, the skimage `rescale`
+                 anti_aliasing default that the reference's numpy pyramid
+                 driver actually calls (src/inverse_compositional_algorithm.py:333-336).
+
+Level sizes use round-half-up (C-style `int(n*nu + 0.5)`), matching the IPOL
+C++ `zoom_size`; the reference numpy `zoom_size` (src/zoom.py:8-22) uses
+numpy round-half-even, which differs only at deep levels of odd sizes.
+
+All shapes are static per level: the pyramid is a Python list of arrays with
+different (compile-time) shapes, which is the idiomatic JAX treatment of a
+multi-resolution stack.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from ..constants import ZOOM_SIGMA_ZERO
+from .warp import bicubic_sample
+
+__all__ = ["zoom_size", "pyramid_shapes", "gaussian_blur", "zoom_out", "build_pyramid"]
+
+
+def zoom_size(nx: int, ny: int, factor: float) -> tuple[int, int]:
+    """New (nx, ny) after scaling by `factor` (round half-up, IPOL style)."""
+    return int(nx * factor + 0.5), int(ny * factor + 0.5)
+
+
+def pyramid_shapes(height: int, width: int, nscales: int, nu: float):
+    """[(H, W)] for each pyramid level, finest first."""
+    shapes = [(height, width)]
+    for _ in range(1, nscales):
+        h, w = shapes[-1]
+        nxx, nyy = zoom_size(w, h, nu)
+        shapes.append((nyy, nxx))
+    return shapes
+
+
+def _gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """1-D normalized Gaussian taps, scipy.ndimage.gaussian_filter's layout
+    (radius = int(truncate*sigma + 0.5); reference smoothing uses
+    scipy.ndimage.gaussian_filter at src/zoom.py:50)."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(image, sigma: float):
+    """Separable Gaussian blur of [B, H, W, C] with symmetric (edge-repeat)
+    padding — scipy's default 'reflect' boundary mode."""
+    if sigma <= 0:
+        return image
+    k = jnp.asarray(_gaussian_kernel(sigma), image.dtype)
+    r = (k.shape[0] - 1) // 2
+
+    # Depthwise separable conv: fold channels into the batch dim so a plain
+    # 2-D convolution (which XLA maps straight onto the TPU conv unit) works
+    # for any channel count.
+    b, h, w, c = image.shape
+    x = image.transpose(0, 3, 1, 2).reshape(b * c, 1, h, w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r)), mode="symmetric")
+    kx = k.reshape(1, 1, 1, -1)
+    ky = k.reshape(1, 1, -1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn)
+    return x.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def _aa_sigma(nu: float, method: str) -> float:
+    if method == "ipol":
+        return ZOOM_SIGMA_ZERO * math.sqrt(1.0 / (nu * nu) - 1.0)
+    if method == "antialias":
+        return max(0.0, (1.0 / nu - 1.0) / 2.0)
+    raise ValueError(f"unknown pyramid method {method!r}")
+
+
+def zoom_out(image, nu: float, method: str = "ipol"):
+    """Downsample [B, H, W, C] by factor nu (< 1): presmooth + bicubic resample.
+
+    Sampling grid follows the chosen convention: "ipol" samples at
+    out/nu (reference src/zoom.py:52-58); "antialias" samples at pixel
+    centers (out + 0.5)/nu - 0.5 like skimage/tf resize.
+    """
+    b, h, w, c = image.shape
+    nxx, nyy = zoom_size(w, h, nu)
+    smoothed = gaussian_blur(image, _aa_sigma(nu, method))
+    dt = image.dtype
+    ox = jnp.arange(nxx, dtype=dt)
+    oy = jnp.arange(nyy, dtype=dt)
+    if method == "ipol":
+        sx, sy = ox / nu, oy / nu
+    else:
+        sx, sy = (ox + 0.5) / nu - 0.5, (oy + 0.5) / nu - 0.5
+    gx = jnp.broadcast_to(sx[None, None, :], (b, nyy, nxx))
+    gy = jnp.broadcast_to(sy[None, :, None], (b, nyy, nxx))
+    return bicubic_sample(smoothed, gx, gy)
+
+
+def build_pyramid(image, nscales: int, nu: float, method: str = "ipol"):
+    """List of [B, h_s, w_s, C], level 0 = input resolution (finest).
+
+    Each level is produced from the previous one (recursive downsampling),
+    as the reference pyramid driver does
+    (src/inverse_compositional_algorithm.py:331-338).
+    """
+    levels = [image]
+    for _ in range(1, nscales):
+        levels.append(zoom_out(levels[-1], nu, method))
+    return levels

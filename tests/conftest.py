@@ -1,0 +1,61 @@
+"""Test environment: virtual 8-device CPU mesh, x64 available.
+
+Sharding / multi-chip logic is validated on a fake CPU device mesh (the
+standard JAX pattern, see SURVEY.md §4); the driver separately dry-runs the
+multi-chip path. These env vars must be set before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# Unit-test oracles compare in float64; package code is dtype-explicit so
+# enabling x64 does not change the float32 production paths.
+jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(scope="session")
+def smooth_image():
+    """Deterministic smooth RGB test image [140, 180, 3] in 0..255."""
+    import jax.numpy as jnp
+    from inverse_compositional_algorithm_tpu.ops.pyramid import gaussian_blur
+
+    rng = np.random.default_rng(0)
+    noise = rng.uniform(0.0, 255.0, (140, 180, 3)).astype(np.float32)
+    return np.array(gaussian_blur(jnp.asarray(noise[None]), 3.0))[0]
+
+
+def synth_pair(img, p, ttype):
+    """(I1, I2) with exact ground truth p: I1 = img sampled at x'(x; p),
+    I2 = img. The solver's fixed point is then exactly p (no boundary
+    zero-fill artifacts; only edge-clipped taps within ~2 px of the border,
+    which the delta band excludes)."""
+    import jax.numpy as jnp
+    from inverse_compositional_algorithm_tpu.ops.transforms import (
+        pad_params, transform_grid,
+    )
+    from inverse_compositional_algorithm_tpu.ops.warp import bicubic_sample
+
+    img = jnp.asarray(img, jnp.float32)
+    h, w, _ = img.shape
+    gx, gy = transform_grid(pad_params(jnp.asarray(p, jnp.float32))[None], ttype, h, w)
+    i1 = bicubic_sample(img[None], gx, gy)[0]
+    return np.array(i1), np.array(img)
+
+
+@pytest.fixture(scope="session")
+def make_pair(smooth_image):
+    def _make(p, ttype):
+        return synth_pair(smooth_image, p, ttype)
+
+    return _make
