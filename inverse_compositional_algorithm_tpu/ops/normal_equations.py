@@ -43,6 +43,7 @@ __all__ = [
     "robust_weights",
     "hessian",
     "rhs",
+    "cholesky_solve8",
     "solve_normal",
 ]
 
@@ -169,13 +170,13 @@ def hessian(gxx, gxy, gyy, jx, jy, weights=None, chunk: int = 16384):
     def step(acc, args):
         w1c, w2c, w3c, jxk, jyk = args
         # [B, chunk, 8] transient per term; contraction over the chunk axis
-        # is an MXU matmul with K = chunk.
-        xx = jnp.einsum("bp,pn,pm->bnm", w1c, jxk, jxk,
-                        preferred_element_type=acc_dt)
-        xy = jnp.einsum("bp,pn,pm->bnm", w2c, jxk, jyk,
-                        preferred_element_type=acc_dt)
-        yy = jnp.einsum("bp,pn,pm->bnm", w3c, jyk, jyk,
-                        preferred_element_type=acc_dt)
+        # is an MXU matmul with K = chunk. Precision.HIGHEST forces true-f32
+        # MXU passes — the TPU default (bf16 inputs) destroys the normal
+        # equations' 7 significant digits and stalls convergence.
+        kw = dict(preferred_element_type=acc_dt, precision=jax.lax.Precision.HIGHEST)
+        xx = jnp.einsum("bp,pn,pm->bnm", w1c, jxk, jxk, **kw)
+        xy = jnp.einsum("bp,pn,pm->bnm", w2c, jxk, jyk, **kw)
+        yy = jnp.einsum("bp,pn,pm->bnm", w3c, jyk, jyk, **kw)
         return acc + xx + xy + xy.transpose(0, 2, 1) + yy, None
 
     init = jnp.zeros((b, NPARAMS_MAX, NPARAMS_MAX), acc_dt)
@@ -206,7 +207,49 @@ def rhs(u, v, jx, jy, weights=None):
         vf = vf * wf
     jxf = jx.reshape(-1, NPARAMS_MAX).astype(acc_dt)
     jyf = jy.reshape(-1, NPARAMS_MAX).astype(acc_dt)
-    return uf @ jxf + vf @ jyf
+    hi = jax.lax.Precision.HIGHEST  # true-f32 MXU; see hessian() note
+    return (jnp.matmul(uf, jxf, precision=hi)
+            + jnp.matmul(vf, jyf, precision=hi))
+
+
+def cholesky_solve8(h, b):
+    """Batched 8x8 SPD solve via a fully unrolled Cholesky factorization.
+
+    dp = H^-1 b for h: [B, 8, 8], b: [B, 8]. Unrolling the n=8 factorization
+    into straight-line jnp ops keeps the solve inside the fused XLA program
+    (no LU custom-call, which on TPU is f32-only and forces a kernel
+    boundary). Non-SPD input yields NaNs which the caller maps to dp = 0.
+    """
+    n = h.shape[-1]
+    # lower-triangular factor, built column by column
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = h[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        ljj = jnp.sqrt(s)
+        l[j][j] = ljj
+        inv = 1.0 / ljj
+        for i in range(j + 1, n):
+            s = h[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x, axis=-1)
 
 
 def solve_normal(h, b, live, precond=None):
@@ -229,7 +272,7 @@ def solve_normal(h, b, live, precond=None):
     """
     live = jnp.asarray(live, h.dtype)
     hp = h + jnp.diag(1.0 - live)[None, :, :]
-    dp = jnp.linalg.solve(hp, b[..., None])[..., 0]
+    dp = cholesky_solve8(hp, b)
     if precond is not None:
         dp = dp / jnp.asarray(precond, dp.dtype)
     dp = jnp.where(jnp.all(jnp.isfinite(dp), axis=-1, keepdims=True), dp, 0.0)

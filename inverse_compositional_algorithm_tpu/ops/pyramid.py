@@ -76,8 +76,11 @@ def gaussian_blur(image, sigma: float):
     kx = k.reshape(1, 1, 1, -1)
     ky = k.reshape(1, 1, -1, 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn)
+    hi = jax.lax.Precision.HIGHEST  # true-f32 accumulation on TPU
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn,
+                                     precision=hi)
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn,
+                                     precision=hi)
     return x.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 

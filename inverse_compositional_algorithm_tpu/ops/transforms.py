@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import enum
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,7 +202,9 @@ def compose_inverse(p, dp, ttype: TransformType, guard: float = 1e-10):
 
     mp = params_to_matrix(p, ttype)
     adj = _adjugate3(params_to_matrix(dp, ttype))
-    u = mp @ adj
+    # HIGHEST: tiny 3x3 product, but TPU's default bf16 matmul precision
+    # would inject ~3e-3 relative error into every composition step.
+    u = jnp.matmul(mp, adj, precision=jax.lax.Precision.HIGHEST)
     # Homogeneous normalizer. For euclidean/similarity/affine updates this is
     # the 2x2 determinant of M(dp) (the reference's guard quantity); for
     # homography it is the full denominator of the expanded formulas.
