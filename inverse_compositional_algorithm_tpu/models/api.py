@@ -47,8 +47,9 @@ class AlignResult:
         return self.p[..., : nparams(config.transform)]
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _align_batched(i1, i2, p0, config: AlignConfig):
+def _align_impl(i1, i2, p0, config: AlignConfig):
+    """Unjitted batched pipeline — the jit/pjit target (parallel.sharded
+    re-jits this with mesh shardings)."""
     state, _ = pyramidal_solve(
         i1, i2, p0, config.transform,
         nscales=config.nscales, nu=config.nu, tol=config.tol,
@@ -67,6 +68,9 @@ def _align_batched(i1, i2, p0, config: AlignConfig):
     di = iw - i1
     return AlignResult(p=state.p, error=state.error, niters=state.niters,
                        di=di, iw=iw, valid=valid)
+
+
+_align_batched = partial(jax.jit, static_argnames=("config",))(_align_impl)
 
 
 def align(i1, i2, config: AlignConfig = AlignConfig(), p0=None,

@@ -56,7 +56,7 @@ def _gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
     radius = int(truncate * sigma + 0.5)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
+    return k / k.sum()
 
 
 def gaussian_blur(image, sigma: float):

@@ -7,7 +7,10 @@ multi-chip path. These env vars must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment may pin JAX_PLATFORMS to a TPU plugin via
+# sitecustomize; jax.config.update (below) takes precedence over the env
+# var, which a plain setdefault would not.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,7 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # Unit-test oracles compare in float64; package code is dtype-explicit so
 # enabling x64 does not change the float32 production paths.
 jax.config.update("jax_enable_x64", True)
