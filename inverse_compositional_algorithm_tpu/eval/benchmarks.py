@@ -87,6 +87,8 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
     cfg = config or AlignConfig(transform=transform, robust=robust,
                                 nscales=nscales)
     cfg.validate()
+    if cfg.use_pallas and jax.default_backend() != "tpu":
+        cfg = cfg.replace(use_pallas=False)
     i1, i2, _ = make_bench_batch(batch, height, width, transform)
     p0 = jnp.zeros((batch, 8), jnp.float32)
     i1, i2, p0 = jax.device_put((i1, i2, p0))

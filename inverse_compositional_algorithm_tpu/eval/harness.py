@@ -1,0 +1,144 @@
+"""Random-transform evaluation harness.
+
+TPU-native counterpart of the reference's `TFDSEvaluator`
+(reference: test/ica_keras_performance_tests_colab.ipynb cell 13): generate
+random ground-truth motions per model class, warp a base image set, run the
+aligner, and report parameter-space MSE / MAE plus wall time, with sweeps
+over transform type, robust loss, and pyramid depth (cells 18/24/29).
+
+Differences from the reference (all deliberate):
+  * no TFDS dependency — any [N, H, W, C] image stack works (local files,
+    synthetic textures); imagenette can be fed in by the caller.
+  * the whole batch is evaluated in ONE device-resident call with per-pair
+    convergence, instead of the reference's batch-of-1 python loop.
+  * metrics are computed against the *inverted* ground truth exactly as the
+    reference's notebooks do (estimate p of I2->I1 where I1 = warp(I2, gt)
+    means p* = gt itself in our pair convention; see eval/benchmarks.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..models.api import _align_batched
+from ..ops.normal_equations import RobustLoss
+from ..ops.transforms import TransformType, nparams, pad_params, transform_grid
+from ..ops.warp import bicubic_sample
+
+__all__ = ["EvalResult", "random_params", "make_pairs", "evaluate",
+           "evaluate_transforms", "evaluate_robust_losses",
+           "evaluate_pyramid_levels"]
+
+
+@dataclass
+class EvalResult:
+    transform: str
+    robust: str
+    nscales: int
+    batch: int
+    mse: float           # parameter-space MSE vs ground truth
+    mae: float           # parameter-space MAE
+    max_err: float
+    pairs_per_sec: float
+    seconds: float
+    mean_iters: float
+    converged_frac: float
+
+
+def random_params(batch: int, ttype: TransformType, height: int, width: int,
+                  magnitude: float = 3.0, seed: int = 0) -> np.ndarray:
+    """[B, 8] random motions with ~`magnitude` pixels of border displacement
+    (the reference draws uniform random transforms per class — colab cell 13)."""
+    rng = np.random.default_rng(seed)
+    l = max(height, width)
+    p = np.zeros((batch, 8), np.float32)
+    if ttype is TransformType.HOMOGRAPHY:
+        p[:, [2, 5]] = rng.uniform(-magnitude, magnitude, (batch, 2))
+        p[:, [0, 1, 3, 4]] = rng.uniform(-magnitude / l, magnitude / l,
+                                         (batch, 4))
+        p[:, 6:8] = rng.uniform(-magnitude / (l * l), magnitude / (l * l),
+                                (batch, 2))
+    else:
+        p[:, :2] = rng.uniform(-magnitude, magnitude, (batch, 2))
+        k = nparams(ttype) - 2
+        if k:
+            p[:, 2:2 + k] = rng.uniform(-magnitude / l, magnitude / l,
+                                        (batch, k))
+    return p
+
+
+def make_pairs(images: np.ndarray, ttype: TransformType,
+               magnitude: float = 3.0, seed: int = 0):
+    """images [B, H, W, C] -> (I1, I2, gt) where I1 = images sampled at
+    x'(x; gt): the solver's exact fixed point is gt."""
+    imgs = jnp.asarray(images, jnp.float32)
+    b, h, w, _ = imgs.shape
+    gt = random_params(b, ttype, h, w, magnitude, seed)
+    gx, gy = transform_grid(pad_params(jnp.asarray(gt)), ttype, h, w)
+    i1 = bicubic_sample(imgs, gx, gy)
+    return i1, imgs, gt
+
+
+def evaluate(images: np.ndarray, config: AlignConfig,
+             magnitude: float = 3.0, seed: int = 0) -> EvalResult:
+    """Align a randomly-warped copy of every image; report accuracy + speed."""
+    i1, i2, gt = make_pairs(images, config.transform, magnitude, seed)
+    b = i1.shape[0]
+    p0 = jnp.zeros((b, 8), jnp.float32)
+    if config.use_pallas and jax.default_backend() != "tpu":
+        config = config.replace(use_pallas=False)
+
+    res = _align_batched(i1, i2, p0, config)   # compile + warm
+    jax.block_until_ready(res.p)
+    t0 = time.perf_counter()
+    res = _align_batched(i1, i2, p0, config)
+    jax.block_until_ready(res.p)
+    dt = time.perf_counter() - t0
+
+    k = nparams(config.transform)
+    err = np.asarray(res.p)[:, :k] - gt[:, :k]
+    return EvalResult(
+        transform=config.transform.name,
+        robust=config.robust.name,
+        nscales=config.nscales,
+        batch=b,
+        mse=float((err ** 2).mean()),
+        mae=float(np.abs(err).mean()),
+        max_err=float(np.abs(err).max()),
+        pairs_per_sec=b / dt,
+        seconds=dt,
+        mean_iters=float(np.asarray(res.niters).mean()),
+        converged_frac=float((np.asarray(res.error) <= config.tol).mean()),
+    )
+
+
+def evaluate_transforms(images, base: AlignConfig = AlignConfig(),
+                        magnitude: float = 3.0):
+    """Sweep over all five motion models (reference colab cell 18)."""
+    return [evaluate(images, base.replace(transform=t), magnitude)
+            for t in TransformType]
+
+
+def evaluate_robust_losses(images, base: AlignConfig = AlignConfig(),
+                           magnitude: float = 3.0):
+    """Sweep over robust error functions (reference colab cell 24)."""
+    out = []
+    for r in RobustLoss:
+        lam = 5.0 if r is RobustLoss.TRUNCATED_QUADRATIC else base.lam
+        out.append(evaluate(images, base.replace(robust=r, lam=lam),
+                            magnitude))
+    return out
+
+
+def evaluate_pyramid_levels(images, base: AlignConfig = AlignConfig(),
+                            levels=(3, 4, 5), magnitude: float = 3.0):
+    """Sweep over pyramid depth (reference colab cell 29)."""
+    return [evaluate(images, base.replace(nscales=n), magnitude)
+            for n in levels]

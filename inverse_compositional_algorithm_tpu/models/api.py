@@ -57,7 +57,8 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         nanifoutside=config.nanifoutside, delta=config.delta,
         pyramid_method=config.pyramid_method,
         precondition=config.precondition,
-        hessian_chunk=config.hessian_chunk, verbose=config.verbose,
+        hessian_chunk=config.hessian_chunk, use_pallas=config.use_pallas,
+        verbose=config.verbose,
     )
     iw, valid = warp_image(i2, state.p, config.transform, config.delta)
     if config.nanifoutside:
@@ -88,6 +89,11 @@ def align(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
       AlignResult (batch dims match the input rank).
     """
     config.validate()
+    if config.use_pallas and (jax.default_backend() != "tpu"
+                              or dtype != jnp.float32):
+        # The fused Mosaic kernel targets TPU/f32; elsewhere use the pure
+        # XLA path (identical semantics, same oracle-tested math).
+        config = config.replace(use_pallas=False)
     i1 = jnp.asarray(i1)
     i2 = jnp.asarray(i2)
     if i1.shape != i2.shape:

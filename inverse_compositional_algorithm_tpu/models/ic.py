@@ -96,6 +96,7 @@ def ic_solve(
     delta: int = 10,
     precondition: bool = True,
     hessian_chunk: int = 16384,
+    use_pallas: bool = False,
     verbose: bool = False,
 ):
     """Estimate p aligning I2 to I1 at a single scale.
@@ -125,14 +126,25 @@ def ic_solve(
         iy = iy * band
     gxx, gxy, gyy = grad_moments(ix, iy)
 
+    # The fused Pallas path computes the system in normalized coordinates,
+    # i.e. it *is* the preconditioned system; fall back to XLA otherwise.
+    fused = use_pallas and precondition and dt == jnp.float32
     scale = param_preconditioner(ttype, hh, ww) if precondition else None
     jx, jy = jacobian_fields(ttype, hh, ww, dtype=dt, scale=scale)
     live = np.zeros(cts.NPARAMS_MAX, np.float32)
     live[: nparams(ttype)] = 1.0
 
+    if fused:
+        from ..ops.pallas.normal_eq import (
+            fused_hessian, fused_normal_eq, fused_rhs,
+        )
+
     h_quad = None
     if not is_robust:
-        h_quad = hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk)
+        if fused:
+            h_quad = fused_hessian(gxx, gxy, gyy, ttype=ttype)
+        else:
+            h_quad = hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk)
 
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
@@ -152,14 +164,22 @@ def ic_solve(
                 )
             else:
                 lam_next = s.lam
-            h = hessian(gxx, gxy, gyy, jx, jy, weights=rho, chunk=hessian_chunk)
+            h = None if fused else hessian(gxx, gxy, gyy, jx, jy,
+                                           weights=rho, chunk=hessian_chunk)
         else:
             rho = None
             lam_next = s.lam
             h = h_quad
 
         u, v = residual_moments(ix, iy, di)
-        b = rhs(u, v, jx, jy, weights=rho)
+        if fused:
+            if is_robust:
+                h, b = fused_normal_eq(rho * gxx, rho * gxy, rho * gyy,
+                                       rho * u, rho * v, ttype=ttype)
+            else:
+                b = fused_rhs(u, v, ttype=ttype)
+        else:
+            b = rhs(u, v, jx, jy, weights=rho)
         dp, err = solve_normal(h, b, live, precond=scale)
 
         p_new = compose_inverse(s.p, pad_params(dp), ttype)

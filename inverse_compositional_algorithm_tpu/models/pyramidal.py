@@ -48,6 +48,7 @@ def pyramidal_solve(
     pyramid_method: str = "ipol",
     precondition: bool = True,
     hessian_chunk: int = 16384,
+    use_pallas: bool = False,
     verbose: bool = False,
 ):
     """Full multi-scale alignment of batched pairs.
@@ -79,7 +80,7 @@ def pyramidal_solve(
             tol=tol, max_iter=max_iter, robust=robust, lam=lam,
             nanifoutside=nanifoutside, delta=delta,
             precondition=precondition, hessian_chunk=hessian_chunk,
-            verbose=verbose,
+            use_pallas=use_pallas, verbose=verbose,
         )
         per_scale.append(state)
         if s > 0:

@@ -48,6 +48,9 @@ def align_sharded(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
       AlignResult with mesh-sharded leaves (use jax.device_get to fetch).
     """
     config.validate()
+    if config.use_pallas and (jax.default_backend() != "tpu"
+                              or dtype != jnp.float32):
+        config = config.replace(use_pallas=False)
     if mesh is None:
         mesh = make_mesh()
     i1 = jnp.asarray(i1, dtype)

@@ -1,0 +1,68 @@
+"""Profiling and tracing utilities.
+
+The reference's observability is ad-hoc timeit cells
+(reference: test/time_profiling.ipynb) and verbose prints; here:
+per-stage wall timers that block on device completion, plus a thin wrapper
+over jax.profiler for capturing device traces viewable in Perfetto/XProf.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+__all__ = ["StageTimer", "trace"]
+
+
+class StageTimer:
+    """Accumulating wall-clock timer keyed by stage name.
+
+    Blocks on device work (jax.block_until_ready on the value returned by
+    the stage) so times are real, not dispatch latencies::
+
+        timer = StageTimer()
+        with timer("warp"):
+            iw = warp_fn(...)           # timer blocks at scope exit
+        print(timer.report())
+    """
+
+    def __init__(self):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self._live = []
+
+    @contextlib.contextmanager
+    def __call__(self, name: str, value=None):
+        t0 = time.perf_counter()
+        try:
+            yield self
+        finally:
+            if self._live:
+                jax.block_until_ready(self._live.pop())
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def observe(self, value):
+        """Register the stage's output so the timer can block on it."""
+        self._live.append(value)
+        return value
+
+    def report(self) -> str:
+        rows = sorted(self.totals.items(), key=lambda kv: -kv[1])
+        width = max((len(k) for k in self.totals), default=4)
+        lines = [f"{k:<{width}}  {v * 1e3:10.3f} ms  x{self.counts[k]}"
+                 for k, v in rows]
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/ica-trace"):
+    """Capture a jax.profiler device trace around the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()

@@ -49,10 +49,11 @@ def test_integer_shift_is_exact():
     np.testing.assert_allclose(out[0, :18, :21], np.asarray(img)[0, 2:, 3:], atol=1e-5)
 
 
-def test_reproduces_cubic_polynomial():
-    """Catmull-Rom interpolation is exact for cubics on interior samples."""
+def test_reproduces_quadratic_polynomial():
+    """Keys a=-0.5 cubic convolution is third-order accurate: exact on
+    polynomials of degree <= 2 (not 3) over interior samples."""
     xs = np.arange(16, dtype=np.float64)
-    f = lambda x: 0.1 * x**3 - 0.4 * x**2 + 2.0 * x + 1.0
+    f = lambda x: -0.4 * x**2 + 2.0 * x + 1.0
     row = f(xs)
     img = jnp.asarray(np.tile(row, (8, 1))[None, :, :, None], jnp.float64)
     q = np.linspace(2.0, 12.7, 9)
