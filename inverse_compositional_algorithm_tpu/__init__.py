@@ -20,7 +20,7 @@ Quick start::
 
 from .config import AlignConfig, read_config_file, write_config_file
 from .constants import MAX_ITER, LAMBDA_0, LAMBDA_N, LAMBDA_RATIO, ZOOM_SIGMA_ZERO
-from .models.api import AlignResult, align, warp
+from .models.api import AlignResult, align, transform_image, warp
 from .models.ic import ICState, ic_solve
 from .models.pyramidal import pyramidal_solve
 from .ops.normal_equations import RobustLoss
@@ -46,6 +46,7 @@ __all__ = [
     "TransformType",
     "align",
     "warp",
+    "transform_image",
     "ic_solve",
     "pyramidal_solve",
     "compose_inverse",

@@ -20,12 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AlignConfig
-from ..ops.transforms import nparams, pad_params
-from ..ops.warp import warp_image
+from ..ops.transforms import (
+    TransformType,
+    invert_params,
+    nparams,
+    pad_params,
+    transform_grid,
+)
+from ..ops.warp import bicubic_sample, warp_image
 from .ic import ICState
 from .pyramidal import pyramidal_solve
 
-__all__ = ["AlignResult", "align", "warp"]
+__all__ = ["AlignResult", "align", "warp", "transform_image"]
 
 
 @jax.tree_util.register_dataclass
@@ -138,3 +144,28 @@ def warp(image, p, config: AlignConfig = AlignConfig()):
     fill = jnp.nan if config.nanifoutside else 0.0
     iw = jnp.where(valid[..., None], iw, jnp.asarray(fill, iw.dtype))
     return (iw[0] if single else iw)
+
+
+def transform_image(image, ttype: TransformType, gt):
+    """Apply the *forward* motion `gt` to an image: out(x) = I(M(gt)^-1 x).
+
+    Ground-truth pair generator, mirror of reference `transform_image`
+    (src/transformation.py:266-318), which warps with skimage
+    `transform.warp(tform.inverse)` — i.e. the output samples the input at
+    the inverse-transformed coordinates, so aligning (out, I) recovers
+    exactly p = params(M(gt)^-1) (what the reference notebooks compute as
+    matrix2params(inv(params2matrix(gt))) — test/ica_keras_unit_tests.ipynb
+    cell 9). Bicubic (Keys) sampling with clip-to-edge boundaries; unlike
+    the reference there is no float64 upcast requirement.
+    """
+    image = jnp.asarray(image)
+    single = image.ndim == 3
+    if single:
+        image = image[None]
+    b, hh, ww, _ = image.shape
+    p_inv = invert_params(pad_params(jnp.asarray(gt, image.dtype), ttype), ttype)
+    if p_inv.ndim == 1:
+        p_inv = jnp.broadcast_to(p_inv, (b, 8))
+    gx, gy = transform_grid(p_inv, ttype, hh, ww)
+    out = bicubic_sample(image, gx, gy)
+    return (out[0] if single else out)

@@ -74,11 +74,67 @@ def test_euclidean_3scale_quadratic():
 
 
 def test_translation_robust_charbonnier():
-    """Reference TF robust result: (-10.0000515, -5.000031)
-    (test/ica_keras_unit_tests.ipynb cell 11)."""
+    """C++ oracle (robust Charbonnier, 3-scale): (-10.000000, -5.000000)
+    (docs/Algortihm Report.md:349-365); also reference TF result
+    (-10.0000515, -5.000031) (test/ica_keras_unit_tests.ipynb cell 11)."""
     i1, i2 = pair("tr")
     cfg = ica.AlignConfig(transform=TransformType.TRANSLATION, nscales=3,
                           robust=RobustLoss.CHARBONNIER)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
     np.testing.assert_allclose(est, [-10.0, -5.0], atol=5e-3)
+
+
+def test_similarity_3scale_quadratic():
+    """C++ oracle: zo pair, similarity, 3 scales ->
+    (-0.000282, 0.000022, 0.111108, -0.000001) — the similarity zoom
+    a = 1/0.9 - 1 (docs/Algortihm Report.md:258-339)."""
+    i1, i2 = pair("zo")
+    cfg = ica.AlignConfig(transform=TransformType.SIMILARITY, nscales=3)
+    res = ica.align(i1, i2, cfg)
+    est = np.asarray(res.params(cfg))
+    assert abs(est[2] - 0.111108) < 1e-3
+    assert np.abs(est[[0, 1, 3]]).max() < 5e-3
+
+
+def test_similarity_robust_charbonnier():
+    """C++ oracle (robust Charbonnier, 3-scale, zo pair):
+    (-0.000247, 0.000160, 0.111107, -0.000002)
+    (docs/Algortihm Report.md:411-433)."""
+    i1, i2 = pair("zo")
+    cfg = ica.AlignConfig(transform=TransformType.SIMILARITY, nscales=3,
+                          robust=RobustLoss.CHARBONNIER)
+    res = ica.align(i1, i2, cfg)
+    est = np.asarray(res.params(cfg))
+    assert abs(est[2] - 0.111107) < 1e-3
+    assert np.abs(est[[0, 1, 3]]).max() < 5e-3
+
+
+def test_euclidean_robust_charbonnier():
+    """C++ oracle (robust Charbonnier, 3-scale, eu pair):
+    (-10.449181, -3.976687, -0.100000) (docs/Algortihm Report.md:389-406)."""
+    i1, i2 = pair("eu")
+    cfg = ica.AlignConfig(transform=TransformType.EUCLIDEAN, nscales=3,
+                          robust=RobustLoss.CHARBONNIER)
+    res = ica.align(i1, i2, cfg)
+    est = np.asarray(res.params(cfg))
+    np.testing.assert_allclose(est, [-10.449181, -3.976687, -0.1], atol=0.05)
+
+
+def test_transform_image_roundtrip():
+    """transform_image(I, gt) then align recovers params(M(gt)^-1), the
+    reference's gt-generation convention (src/transformation.py:266-318 +
+    test/ica_keras_unit_tests.ipynb cell 9)."""
+    from inverse_compositional_algorithm_tpu.ops.transforms import (
+        invert_params, pad_params,
+    )
+
+    i2 = load_image(os.path.join(DATA, "rubber_whale.png"))
+    gt = np.array([7.0, -4.0], np.float32)
+    i1 = ica.transform_image(i2, TransformType.TRANSLATION, gt)
+    cfg = ica.AlignConfig(transform=TransformType.TRANSLATION, nscales=3)
+    res = ica.align(i1, i2, cfg)
+    expect = np.asarray(invert_params(
+        pad_params(gt, TransformType.TRANSLATION), TransformType.TRANSLATION))
+    np.testing.assert_allclose(np.asarray(res.params(cfg)), expect[:2],
+                               atol=5e-3)
