@@ -13,7 +13,11 @@ import sys
 
 def main() -> int:
     from inverse_compositional_algorithm_tpu.eval.benchmarks import run_benchmark
+    from inverse_compositional_algorithm_tpu.utils.profiling import (
+        enable_compilation_cache,
+    )
 
+    enable_compilation_cache()
     result = run_benchmark()
     print(json.dumps(result))
     return 0

@@ -94,6 +94,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="ica-tpu",
                                  description="TPU-native inverse compositional alignment")
     sub = ap.add_subparsers(dest="cmd", required=True)

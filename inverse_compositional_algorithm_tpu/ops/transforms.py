@@ -234,12 +234,15 @@ def invert_params(p, ttype: TransformType, guard: float = 1e-10):
     return jnp.where(ok[..., None], new, p)
 
 
-def transform_grid(p, ttype: TransformType, height: int, width: int):
+def transform_grid(p, ttype: TransformType, height: int, width: int,
+                   y_offset=0):
     """Warped sampling coordinates x'(x; p) for every pixel.
 
     Args:
       p: [..., 8] padded parameters (batch leading dims).
       height, width: static image dims.
+      y_offset: global row index of the first row (may be a traced scalar);
+        lets a row-sharded caller compute its tile's absolute coordinates.
 
     Returns:
       (gx, gy): each [..., height, width], the source coordinates that the
@@ -253,7 +256,7 @@ def transform_grid(p, ttype: TransformType, height: int, width: int):
     dt = p.dtype
     m = params_to_matrix(p, ttype)
     x = jnp.arange(width, dtype=dt)
-    y = jnp.arange(height, dtype=dt)
+    y = jnp.arange(height, dtype=dt) + jnp.asarray(y_offset, dt)
     # x' = m00 x + m01 y + m02 etc., broadcast as outer sums: keeps the grid
     # implicit (no [3, H, W] materialization before the contraction).
     gx = (

@@ -1,0 +1,226 @@
+"""Spatial-domain parallelism with explicit collectives (shard_map).
+
+The SP-analogue for image alignment (SURVEY §2.2): row-tiles of the
+template image are sharded over the mesh's "tile" axis, each device
+computes its partial normal equations, and only the tiny 8x8 system + 8
+vector cross the interconnect (`lax.psum` over ICI) per iteration — the
+Schur-style layout where images are big but the reduced system is tiny.
+
+Communication pattern per solve:
+  * gradient halo — the y central difference needs one neighbor row from
+    the adjacent shard; exchanged once with two `lax.ppermute` shifts
+    (bicubic's 4x4 stencil never crosses tiles because warping samples the
+    *replicated* moving image, see below).
+  * per iteration — ONE psum of [B, 8, 8] + [B, 8] partial sums. Nothing
+    else moves.
+
+The moving image I2 is replicated across the tile axis: a parametric warp
+can fetch pixels from anywhere in the frame (a 10-px translation already
+crosses any fixed halo), so tile-locality only exists for the *output*
+(template) domain. Replicating I2 (a few MB) buys completely local gathers;
+all per-iteration bandwidth — the warp's 16 taps, residual, moments — is
+spread over the tile axis.
+
+This is the explicit twin of `parallel.sharded.align_sharded(tile_rows=True)`
+(which leaves the partitioning to XLA's SPMD pass); use it when you want
+deterministic, inspectable communication or to pin the collective schedule.
+
+The delta-band/boundary semantics use *global* row indices
+(ops.gradients docstring; reference boundary logic at
+src/keras-tf/tf_inverse_compositional_algorithm.py:19-37 is global too).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exports it at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from .. import constants as cts
+from ..models.ic import ICState, _masked_residual
+from ..ops.normal_equations import (
+    RobustLoss,
+    grad_moments,
+    hessian,
+    residual_moments,
+    rhs,
+    robust_weights,
+    solve_normal,
+)
+from ..ops.transforms import (
+    TransformType,
+    compose_inverse,
+    jacobian_fields,
+    nparams,
+    pad_params,
+    param_preconditioner,
+    transform_grid,
+)
+from ..ops.warp import bicubic_sample, domain_mask
+from .mesh import PAIRS_AXIS, TILE_AXIS, Mesh
+
+__all__ = ["tiled_ic_solve"]
+
+
+def _halo_gradients(i1_loc, nt: int, y0, height: int, delta: int,
+                    nanifoutside: bool):
+    """Central-difference gradients of a row shard with ppermute halos.
+
+    x-gradients are width-local (no communication); the y central
+    difference needs the last row of the shard above and the first row of
+    the shard below — one ppermute each way. Rows at the *global* border
+    are zeroed (matching ops.gradients.central_gradients), and the
+    delta-band mask is applied with global coordinates.
+    """
+    dt = i1_loc.dtype
+    b, h_loc, w, c = i1_loc.shape
+
+    ix = 0.5 * (i1_loc[:, :, 2:, :] - i1_loc[:, :, :-2, :])
+    ix = jnp.pad(ix, ((0, 0), (0, 0), (1, 1), (0, 0)))
+
+    if nt > 1:
+        down = [(i, i + 1) for i in range(nt - 1)]   # send last row downward
+        up = [(i + 1, i) for i in range(nt - 1)]     # send first row upward
+        top = lax.ppermute(i1_loc[:, -1:, :, :], TILE_AXIS, down)
+        bot = lax.ppermute(i1_loc[:, :1, :, :], TILE_AXIS, up)
+    else:
+        top = jnp.zeros_like(i1_loc[:, :1])
+        bot = jnp.zeros_like(i1_loc[:, :1])
+    above = jnp.concatenate([top, i1_loc[:, :-1]], axis=1)
+    below = jnp.concatenate([i1_loc[:, 1:], bot], axis=1)
+    iy = 0.5 * (below - above)
+
+    rows = jnp.arange(h_loc) + y0                    # global row indices
+    interior = ((rows >= 1) & (rows <= height - 2)).astype(dt)
+    iy = iy * interior[None, :, None, None]
+
+    if nanifoutside and delta > 0:
+        cols = np.arange(w)
+        cok = jnp.asarray(((cols >= delta) & (cols < w - delta))
+                          .astype(np.float32), dt)
+        rok = ((rows >= delta) & (rows < height - delta)).astype(dt)
+        band = rok[:, None] * cok[None, :]
+        ix = ix * band[None, :, :, None]
+        iy = iy * band[None, :, :, None]
+    return ix, iy
+
+
+def tiled_ic_solve(
+    i1,
+    i2,
+    p0,
+    ttype: TransformType,
+    *,
+    mesh: Mesh,
+    tol: float = 1e-3,
+    max_iter: int = cts.MAX_ITER,
+    robust: RobustLoss = RobustLoss.QUADRATIC,
+    lam: float = 0.0,
+    nanifoutside: bool = True,
+    delta: int = 10,
+    precondition: bool = True,
+    hessian_chunk: int = 16384,
+):
+    """Single-scale IC/IRLS solve, row-tiled over mesh axis "tile" and
+    batch-sharded over "pairs". Numerically equivalent to models.ic.ic_solve
+    up to float summation order.
+
+    Args:
+      i1, i2: [B, H, W, C]; B divisible by the pairs axis, H by the tile
+        axis. p0: [B, 8].
+
+    Returns:
+      ICState (p/error/niters replicated over tile, sharded over pairs).
+    """
+    bsz, hh, ww, _ = i1.shape
+    dt = i1.dtype
+    nt = mesh.shape[TILE_AXIS]
+    npair = mesh.shape[PAIRS_AXIS]
+    if hh % nt:
+        raise ValueError(f"H={hh} not divisible by tile axis size {nt}")
+    if bsz % npair:
+        raise ValueError(f"B={bsz} not divisible by pairs axis size {npair}")
+    h_loc = hh // nt
+    is_robust = robust is not RobustLoss.QUADRATIC
+    scale = param_preconditioner(ttype, hh, ww) if precondition else None
+    live = np.zeros(cts.NPARAMS_MAX, np.float32)
+    live[: nparams(ttype)] = 1.0
+    lam0 = lam if lam > 0 else cts.LAMBDA_0
+
+    def shard_fn(i1_loc, i2_full, p0_loc):
+        y0 = lax.axis_index(TILE_AXIS) * h_loc
+        b_loc = i1_loc.shape[0]
+
+        ix, iy = _halo_gradients(i1_loc, nt, y0, hh, delta, nanifoutside)
+        gxx, gxy, gyy = grad_moments(ix, iy)
+        jx, jy = jacobian_fields(ttype, h_loc, ww, dtype=dt, scale=scale,
+                                 y_offset=y0)
+
+        h_quad = None
+        if not is_robust:
+            h_quad = lax.psum(
+                hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk),
+                TILE_AXIS)
+
+        def body(s):
+            gx, gy = transform_grid(s.p, ttype, h_loc, ww, y_offset=y0)
+            iw = bicubic_sample(i2_full, gx, gy)
+            valid = domain_mask(gx, gy, hh, ww, delta)
+            di = _masked_residual(iw, valid, i1_loc, nanifoutside)
+
+            if is_robust:
+                rho = robust_weights(di, s.lam, robust)
+                lam_next = jnp.where(
+                    s.lam > cts.LAMBDA_N,
+                    jnp.maximum(s.lam * cts.LAMBDA_RATIO, cts.LAMBDA_N),
+                    s.lam) if lam <= 0 else s.lam
+                h = lax.psum(
+                    hessian(gxx, gxy, gyy, jx, jy, weights=rho,
+                            chunk=hessian_chunk), TILE_AXIS)
+            else:
+                rho, lam_next, h = None, s.lam, h_quad
+
+            u, v = residual_moments(ix, iy, di)
+            b = lax.psum(rhs(u, v, jx, jy, weights=rho), TILE_AXIS)
+            dp, err = solve_normal(h, b, live, precond=scale)
+
+            p_new = compose_inverse(s.p, pad_params(dp), ttype)
+            act = s.active
+            p = jnp.where(act[:, None], p_new, s.p)
+            error = jnp.where(act, err, s.error)
+            niters = s.niters + act.astype(s.niters.dtype)
+            still = act & (err > tol) & (s.it + 1 < max_iter)
+            return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
+                           niters=niters, active=still)
+
+        init = ICState(
+            p=pad_params(jnp.asarray(p0_loc, dt)),
+            error=jnp.full((b_loc,), 1e10, dt),
+            lam=jnp.asarray(lam0, dt),
+            it=jnp.asarray(0, jnp.int32),
+            niters=jnp.zeros((b_loc,), jnp.int32),
+            active=jnp.ones((b_loc,), bool),
+        )
+        return lax.while_loop(lambda s: jnp.any(s.active), body, init)
+
+    pp = P(PAIRS_AXIS)
+    state_specs = ICState(p=pp, error=pp, lam=P(), it=P(), niters=pp,
+                          active=pp)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(PAIRS_AXIS, TILE_AXIS), P(PAIRS_AXIS), pp),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)(i1, i2, pad_params(jnp.asarray(p0, dt)))

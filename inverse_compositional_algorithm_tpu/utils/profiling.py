@@ -14,7 +14,18 @@ from collections import defaultdict
 
 import jax
 
-__all__ = ["StageTimer", "trace"]
+__all__ = ["StageTimer", "trace", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Persist XLA executables across processes.
+
+    The flagship 5-scale pyramid program takes minutes to compile on a
+    tunneled TPU; with the persistent cache, reruns of bench.py / the CLI
+    for an already-seen (shape, config) are seconds. Safe on any backend.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 class StageTimer:
