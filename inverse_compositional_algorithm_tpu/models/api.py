@@ -157,6 +157,14 @@ def transform_image(image, ttype: TransformType, gt):
     matrix2params(inv(params2matrix(gt))) — test/ica_keras_unit_tests.ipynb
     cell 9). Bicubic (Keys) sampling with clip-to-edge boundaries; unlike
     the reference there is no float64 upcast requirement.
+
+    Intentional divergence: for EUCLIDEAN the reference negates the
+    rotation angle (EuclideanTransform(rotation=-gt[2]),
+    src/transformation.py:287) while its SIMILARITY path does not — the
+    reference is internally inconsistent. Here every model uses
+    params_to_matrix(gt) unmodified, so euclidean gt-generation rotates in
+    the *opposite* direction from reference-generated datasets (see
+    PARITY.md C23 note).
     """
     image = jnp.asarray(image)
     single = image.ndim == 3

@@ -32,7 +32,7 @@ src/keras-tf/tf_inverse_compositional_algorithm.py:19-37 is global too).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import numpy as np
 
@@ -115,41 +115,29 @@ def _halo_gradients(i1_loc, nt: int, y0, height: int, delta: int,
     return ix, iy
 
 
-def tiled_ic_solve(
-    i1,
-    i2,
-    p0,
+@lru_cache(maxsize=128)
+def _build_tiled_fn(
     ttype: TransformType,
-    *,
     mesh: Mesh,
-    tol: float = 1e-3,
-    max_iter: int = cts.MAX_ITER,
-    robust: RobustLoss = RobustLoss.QUADRATIC,
-    lam: float = 0.0,
-    nanifoutside: bool = True,
-    delta: int = 10,
-    precondition: bool = True,
-    hessian_chunk: int = 16384,
+    tol: float,
+    max_iter: int,
+    robust: RobustLoss,
+    lam: float,
+    nanifoutside: bool,
+    delta: int,
+    precondition: bool,
+    hessian_chunk: int,
+    shape: tuple,
+    dtype_name: str,
 ):
-    """Single-scale IC/IRLS solve, row-tiled over mesh axis "tile" and
-    batch-sharded over "pairs". Numerically equivalent to models.ic.ic_solve
-    up to float summation order.
+    """Build + jit the shard_map program for one static configuration.
 
-    Args:
-      i1, i2: [B, H, W, C]; B divisible by the pairs axis, H by the tile
-        axis. p0: [B, 8].
-
-    Returns:
-      ICState (p/error/niters replicated over tile, sharded over pairs).
-    """
-    bsz, hh, ww, _ = i1.shape
-    dt = i1.dtype
+    Cached on every static argument (jit keys on function identity, so a
+    fresh closure per call would retrace/recompile each solve — these
+    programs can take minutes to compile on TPU)."""
+    bsz, hh, ww, _ = shape
+    dt = jnp.dtype(dtype_name)
     nt = mesh.shape[TILE_AXIS]
-    npair = mesh.shape[PAIRS_AXIS]
-    if hh % nt:
-        raise ValueError(f"H={hh} not divisible by tile axis size {nt}")
-    if bsz % npair:
-        raise ValueError(f"B={bsz} not divisible by pairs axis size {npair}")
     h_loc = hh // nt
     is_robust = robust is not RobustLoss.QUADRATIC
     scale = param_preconditioner(ttype, hh, ww) if precondition else None
@@ -211,7 +199,15 @@ def tiled_ic_solve(
             niters=jnp.zeros((b_loc,), jnp.int32),
             active=jnp.ones((b_loc,), bool),
         )
-        return lax.while_loop(lambda s: jnp.any(s.active), body, init)
+        s = lax.while_loop(lambda s: jnp.any(s.active), body, init)
+        # Each pairs-shard runs its own while_loop trip count, so the
+        # scalar it/lam diverge across the pairs axis. Reduce them to
+        # well-defined, replicated diagnostics: the max trip count and the
+        # matching (most-annealed, i.e. minimum) lambda.
+        return ICState(p=s.p, error=s.error,
+                       lam=lax.pmin(s.lam, PAIRS_AXIS),
+                       it=lax.pmax(s.it, PAIRS_AXIS),
+                       niters=s.niters, active=s.active)
 
     pp = P(PAIRS_AXIS)
     state_specs = ICState(p=pp, error=pp, lam=P(), it=P(), niters=pp,
@@ -223,4 +219,48 @@ def tiled_ic_solve(
         out_specs=state_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(i1, i2, pad_params(jnp.asarray(p0, dt)))
+    return jax.jit(fn)
+
+
+def tiled_ic_solve(
+    i1,
+    i2,
+    p0,
+    ttype: TransformType,
+    *,
+    mesh: Mesh,
+    tol: float = 1e-3,
+    max_iter: int = cts.MAX_ITER,
+    robust: RobustLoss = RobustLoss.QUADRATIC,
+    lam: float = 0.0,
+    nanifoutside: bool = True,
+    delta: int = 10,
+    precondition: bool = True,
+    hessian_chunk: int = 16384,
+):
+    """Single-scale IC/IRLS solve, row-tiled over mesh axis "tile" and
+    batch-sharded over "pairs". Numerically equivalent to models.ic.ic_solve
+    up to float summation order. The compiled program is cached per
+    (config, mesh, shape, dtype) — repeated solves pay compile cost once.
+
+    Args:
+      i1, i2: [B, H, W, C]; B divisible by the pairs axis, H by the tile
+        axis. p0: [B, 8].
+
+    Returns:
+      ICState (p/error/niters sharded over pairs; it/lam are replicated
+      global diagnostics: max trip count / min lambda across pair shards).
+    """
+    bsz, hh, ww, _ = i1.shape
+    dt = i1.dtype
+    nt = mesh.shape[TILE_AXIS]
+    npair = mesh.shape[PAIRS_AXIS]
+    if hh % nt:
+        raise ValueError(f"H={hh} not divisible by tile axis size {nt}")
+    if bsz % npair:
+        raise ValueError(f"B={bsz} not divisible by pairs axis size {npair}")
+    fn = _build_tiled_fn(ttype, mesh, float(tol), int(max_iter), robust,
+                         float(lam), bool(nanifoutside), int(delta),
+                         bool(precondition), int(hessian_chunk),
+                         tuple(i1.shape), jnp.dtype(dt).name)
+    return fn(i1, i2, pad_params(jnp.asarray(p0, dt)))

@@ -9,6 +9,7 @@ over jax.profiler for capturing device traces viewable in Perfetto/XProf.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 
@@ -17,13 +18,22 @@ import jax
 __all__ = ["StageTimer", "trace", "enable_compilation_cache"]
 
 
-def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA executables across processes.
 
     The flagship 5-scale pyramid program takes minutes to compile on a
     tunneled TPU; with the persistent cache, reruns of bench.py / the CLI
     for an already-seen (shape, config) are seconds. Safe on any backend.
+
+    Defaults to ``~/.cache/ica_tpu_jax`` and is a no-op when the user has
+    already configured a cache dir (via JAX_COMPILATION_CACHE_DIR or
+    jax.config) so we never clobber an existing setup.
     """
+    if jax.config.jax_compilation_cache_dir or os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR"):
+        return
+    if path is None:
+        path = os.path.join(os.path.expanduser("~"), ".cache", "ica_tpu_jax")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
