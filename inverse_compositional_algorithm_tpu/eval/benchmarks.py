@@ -8,11 +8,23 @@ image size on the *cheapest* config (quadratic, translation, single scale —
 reference test/inverse_compositional_algorithm.ipynb cell 14), i.e.
 0.0987 pairs/s; the robust+homography+5-scale config it is compared against
 here is strictly more work, so vs_baseline is a conservative lower bound.
+
+Timing methodology (important on tunneled/remote TPU backends): a naive
+dispatch-and-block loop measures only dispatch/RTT, not device work —
+`block_until_ready` on some remote transports returns before the device
+has executed, and repeated identical executions can be deduplicated. We
+therefore time K complete alignments executed *on device* inside one
+jitted `lax.scan` (each step gets a fresh warm-start perturbation and a
+per-step image scaling so no step is loop-invariant and nothing can be
+hoisted or deduplicated), fetch one scalar checksum, and report the
+two-point difference (t(K) - t(K0)) / (K - K0) — which cancels the
+transport round-trip and any constant dispatch overhead exactly.
 """
 
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import numpy as np
 
@@ -20,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AlignConfig
-from ..models.api import _align_batched
+from ..models.api import _align_impl
 from ..ops.normal_equations import RobustLoss
 from ..ops.pyramid import gaussian_blur
 from ..ops.transforms import TransformType, pad_params, transform_grid
@@ -74,36 +86,66 @@ def make_bench_batch(batch: int, height: int, width: int,
     return i1, i2, p
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def _bench_scan(i1, i2, p0s, scales, cfg, k: int):
+    """Run k full alignments on device; returns (checksum, niters[k, B]).
+
+    Each step perturbs the warm start (p0s[j]) and scales the images by
+    scales[j] (= 1 +/- 1e-6), so no step's computation is loop-invariant:
+    the pyramid build, every solver iteration, and the final warp all
+    execute k times on device.
+    """
+    def step(acc, xs):
+        p0, s = xs
+        r = _align_impl(i1 * s, i2 * s, p0, cfg)
+        return acc + r.p.sum() + r.error.sum(), r.niters
+
+    acc, nit = jax.lax.scan(step, jnp.float32(0.0),
+                            (p0s[:k], scales[:k]))
+    return acc, nit
+
+
 def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
                   transform: TransformType = TransformType.HOMOGRAPHY,
                   robust: RobustLoss = RobustLoss.CHARBONNIER,
-                  nscales: int = 5, repeats: int = 3,
+                  nscales: int = 5, repeats: int = 4, repeats0: int = 1,
                   config: AlignConfig | None = None) -> dict:
-    """Compile, warm up, then time `repeats` full alignments of the batch.
+    """Measure device throughput of `repeats` full alignments of the batch.
 
-    Returns the bench.py JSON record. Throughput counts wall time of the
-    fully device-resident program (host->device transfers excluded by
-    pre-placing inputs; every pair runs its full per-pair convergence)."""
+    Returns the bench.py JSON record. Throughput is computed from the
+    two-point difference between a `repeats`-step and a `repeats0`-step
+    on-device scan (see module docstring), so transport round-trips,
+    host<->device transfers and dispatch overhead cancel; every pair runs
+    its full per-pair convergence in every counted step.
+    """
+    assert repeats > repeats0 >= 1
     cfg = config or AlignConfig(transform=transform, robust=robust,
                                 nscales=nscales)
     cfg.validate()
     if cfg.use_pallas and jax.default_backend() != "tpu":
         cfg = cfg.replace(use_pallas=False)
     i1, i2, _ = make_bench_batch(batch, height, width, transform)
-    p0 = jnp.zeros((batch, 8), jnp.float32)
-    i1, i2, p0 = jax.device_put((i1, i2, p0))
+    rng = np.random.default_rng(1)
+    p0s = jnp.asarray(rng.uniform(-1e-4, 1e-4, (repeats, batch, 8)),
+                      jnp.float32)
+    scales = jnp.asarray(1.0 + rng.uniform(-1e-6, 1e-6, repeats), jnp.float32)
+    i1, i2, p0s, scales = jax.device_put((i1, i2, p0s, scales))
 
-    res = _align_batched(i1, i2, p0, cfg)   # compile + warm up
-    jax.block_until_ready(res.p)
+    # Compile + warm up both program sizes (and populate any remote caches).
+    float(_bench_scan(i1, i2, p0s, scales, cfg, repeats0)[0])
+    acc, nit = _bench_scan(i1, i2, p0s, scales, cfg, repeats)
+    float(acc)
 
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        res = _align_batched(i1, i2, p0, cfg)
-        jax.block_until_ready(res.p)
-    dt = time.perf_counter() - t0
+    float(_bench_scan(i1, i2, p0s, scales, cfg, repeats0)[0])
+    t1 = time.perf_counter()
+    acc, nit = _bench_scan(i1, i2, p0s, scales, cfg, repeats)
+    float(acc)
+    t2 = time.perf_counter()
 
-    pairs_per_sec = batch * repeats / dt
-    mean_iters = float(np.asarray(res.niters, np.float64).mean())
+    per_batch = ((t2 - t1) - (t1 - t0)) / (repeats - repeats0)
+    pairs_per_sec = batch / per_batch
+    mean_iters = float(np.asarray(nit, np.float64).mean())
     return {
         "metric": f"pairs/sec/chip ({transform.name.lower()}, "
                   f"{robust.name.lower()}, {nscales}-scale, {height}x{width})",
@@ -111,7 +153,8 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
         "batch": batch,
-        "seconds_per_batch": round(dt / repeats, 4),
+        "seconds_per_batch": round(per_batch, 4),
         "mean_finest_iters": round(mean_iters, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
+        "timing": "on-device scan, two-point (RTT-cancelled)",
     }
