@@ -66,7 +66,19 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         hessian_chunk=config.hessian_chunk, use_pallas=config.use_pallas,
         verbose=config.verbose,
     )
-    iw, valid = warp_image(i2, state.p, config.transform, config.delta)
+    fast_hb = None
+    if config.use_pallas:
+        from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
+
+        fast_hb = plan_fast_warp(i2.shape[1], i2.shape[2], i2.shape[3],
+                                 i2.dtype)
+    if fast_hb is not None:
+        gx, gy = transform_grid(state.p, config.transform,
+                                i2.shape[1], i2.shape[2])
+        iw, valid = warp_image_fast(i2, pad_planar(i2), gx, gy,
+                                    config.delta, fast_hb)
+    else:
+        iw, valid = warp_image(i2, state.p, config.transform, config.delta)
     if config.nanifoutside:
         fill = jnp.asarray(jnp.nan, iw.dtype)
     else:

@@ -50,6 +50,7 @@ from ..ops.transforms import (
     nparams,
     pad_params,
     param_preconditioner,
+    transform_grid,
 )
 from ..ops.warp import warp_image
 
@@ -139,6 +140,17 @@ def ic_solve(
             fused_hessian, fused_normal_eq, fused_rhs,
         )
 
+    # Fast-warp plan: the Pallas banded warp kernel replaces the XLA gather
+    # sampler when the shape supports it (ops/pallas/warp.py). The planar
+    # padded source is loop-invariant, so build it once here.
+    fast_hb = None
+    if use_pallas:
+        from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
+
+        fast_hb = plan_fast_warp(hh, ww, i2.shape[-1], dt)
+        if fast_hb is not None:
+            i2_planar = pad_planar(i2)
+
     h_quad = None
     if not is_robust:
         if fused:
@@ -149,7 +161,11 @@ def ic_solve(
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
     def body(s: ICState) -> ICState:
-        iw, valid = warp_image(i2, s.p, ttype, delta)
+        if fast_hb is not None:
+            gx, gy = transform_grid(s.p, ttype, hh, ww)
+            iw, valid = warp_image_fast(i2, i2_planar, gx, gy, delta, fast_hb)
+        else:
+            iw, valid = warp_image(i2, s.p, ttype, delta)
         di = _masked_residual(iw, valid, i1, nanifoutside)
 
         if is_robust:

@@ -84,3 +84,32 @@ def test_ipol_sigma_value():
     from inverse_compositional_algorithm_tpu.ops.pyramid import _aa_sigma
     assert abs(_aa_sigma(0.5, "ipol") - 0.6 * np.sqrt(3.0)) < 1e-12
     assert abs(_aa_sigma(0.5, "antialias") - 0.5) < 1e-12
+
+
+def test_zoom_out_matches_gather_sampler():
+    """The matmul resample must agree with the 16-tap gather sampler."""
+    import jax.numpy as jnp
+
+    from inverse_compositional_algorithm_tpu.ops.pyramid import (
+        _aa_sigma, gaussian_blur, zoom_out, zoom_size,
+    )
+    from inverse_compositional_algorithm_tpu.ops.warp import bicubic_sample
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 37, 53, 3)), jnp.float32)
+    for method in ("ipol", "antialias"):
+        nu = 0.5
+        got = zoom_out(img, nu, method)
+        nxx, nyy = zoom_size(53, 37, nu)
+        sm = gaussian_blur(img, _aa_sigma(nu, method))
+        ox = jnp.arange(nxx, dtype=jnp.float32)
+        oy = jnp.arange(nyy, dtype=jnp.float32)
+        if method == "ipol":
+            sx, sy = ox / nu, oy / nu
+        else:
+            sx, sy = (ox + 0.5) / nu - 0.5, (oy + 0.5) / nu - 0.5
+        gx = jnp.broadcast_to(sx[None, None, :], (2, nyy, nxx))
+        gy = jnp.broadcast_to(sy[None, :, None], (2, nyy, nxx))
+        ref = bicubic_sample(sm, gx, gy)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
