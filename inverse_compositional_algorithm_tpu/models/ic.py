@@ -127,8 +127,8 @@ def ic_solve(
         iy = iy * band
     gxx, gxy, gyy = grad_moments(ix, iy)
 
-    # The fused Pallas path computes the system in normalized coordinates,
-    # i.e. it *is* the preconditioned system; fall back to XLA otherwise.
+    # The fused Pallas paths compute the system in normalized coordinates,
+    # i.e. they *are* the preconditioned system; fall back to XLA otherwise.
     fused = use_pallas and precondition and dt == jnp.float32
     scale = param_preconditioner(ttype, hh, ww) if precondition else None
     jx, jy = jacobian_fields(ttype, hh, ww, dtype=dt, scale=scale)
@@ -137,14 +137,25 @@ def ic_solve(
 
     if fused:
         from ..ops.pallas.normal_eq import (
-            fused_hessian, fused_normal_eq, fused_rhs,
+            _assemble_b, _assemble_h, fused_hessian, fused_normal_eq,
+            fused_rhs,
         )
 
-    # Fast-warp plan: the Pallas banded warp kernel replaces the XLA gather
-    # sampler when the shape supports it (ops/pallas/warp.py). The planar
-    # padded source is loop-invariant, so build it once here.
+    # Fully-fused iteration plan: ONE Pallas kernel per iteration computes
+    # warp -> residual -> rho' -> normal-equation moments with no per-pixel
+    # HBM intermediates (ops/pallas/fused_iter.py). The planar operands are
+    # loop-invariant, so build them once here.
+    fast_iter = None
     fast_hb = None
-    if use_pallas:
+    if fused:
+        from ..ops.pallas.fused_iter import (
+            band_overflow, fused_iter_moments, plan_fused_iter,
+        )
+
+        fast_iter = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy)
+    if use_pallas and fast_iter is None:
+        # Partially-fused fallback: Pallas banded warp replacing the XLA
+        # gather sampler when the shape supports it (ops/pallas/warp.py).
         from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
 
         fast_hb = plan_fast_warp(hh, ww, i2.shape[-1], dt)
@@ -160,33 +171,27 @@ def ic_solve(
 
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
-    def body(s: ICState) -> ICState:
-        if fast_hb is not None:
-            gx, gy = transform_grid(s.p, ttype, hh, ww)
-            iw, valid = warp_image_fast(i2, i2_planar, gx, gy, delta, fast_hb)
-        else:
-            iw, valid = warp_image(i2, s.p, ttype, delta)
-        di = _masked_residual(iw, valid, i1, nanifoutside)
+    def _anneal(lam_cur):
+        if not is_robust or lam > 0:
+            return lam_cur
+        # Continuation: shrink lambda each iteration toward LAMBDA_N
+        # (applied after rho, like the reference).
+        return jnp.where(
+            lam_cur > cts.LAMBDA_N,
+            jnp.maximum(lam_cur * cts.LAMBDA_RATIO, cts.LAMBDA_N),
+            lam_cur,
+        )
 
+    def _normal_eq_from_residual(s, iw, valid):
+        """(h, b) via the separate-op pipeline (XLA / partial Pallas)."""
+        di = _masked_residual(iw, valid, i1, nanifoutside)
         if is_robust:
             rho = robust_weights(di, s.lam, robust)
-            if lam <= 0:
-                # Continuation: shrink lambda each iteration toward LAMBDA_N
-                # (applied after rho, like the reference).
-                lam_next = jnp.where(
-                    s.lam > cts.LAMBDA_N,
-                    jnp.maximum(s.lam * cts.LAMBDA_RATIO, cts.LAMBDA_N),
-                    s.lam,
-                )
-            else:
-                lam_next = s.lam
             h = None if fused else hessian(gxx, gxy, gyy, jx, jy,
                                            weights=rho, chunk=hessian_chunk)
         else:
             rho = None
-            lam_next = s.lam
             h = h_quad
-
         u, v = residual_moments(ix, iy, di)
         if fused:
             if is_robust:
@@ -196,6 +201,42 @@ def ic_solve(
                 b = fused_rhs(u, v, ttype=ttype)
         else:
             b = rhs(u, v, jx, jy, weights=rho)
+        return h, b
+
+    def body(s: ICState) -> ICState:
+        if fast_iter is not None:
+            # Fully-fused iteration: one kernel, with the exact XLA chain
+            # behind a cond for motions whose y-shear overflows the band.
+            gx, gy = transform_grid(s.p, ttype, hh, ww)
+            overflow = band_overflow(gy, hh, fast_iter.hb)
+
+            def _fast():
+                m = fused_iter_moments(
+                    fast_iter.i2p, fast_iter.i1p, fast_iter.ixp,
+                    fast_iter.iyp, fast_iter.g3p, gx, gy, s.lam,
+                    height=hh, width=ww, hb=fast_iter.hb,
+                    robust=robust if is_robust else None,
+                    nanifoutside=nanifoutside, delta=delta)
+                if is_robust:
+                    return (_assemble_h(m[:, :3], ttype, hh, ww),
+                            _assemble_b(m[:, 3:], ttype, hh, ww))
+                return h_quad, _assemble_b(m, ttype, hh, ww)
+
+            def _slow():
+                iw = warp_image(i2, s.p, ttype, delta)
+                return _normal_eq_from_residual(s, *iw)
+
+            h, b = jax.lax.cond(overflow, _slow, _fast)
+        else:
+            if fast_hb is not None:
+                gx, gy = transform_grid(s.p, ttype, hh, ww)
+                iw, valid = warp_image_fast(i2, i2_planar, gx, gy, delta,
+                                            fast_hb)
+            else:
+                iw, valid = warp_image(i2, s.p, ttype, delta)
+            h, b = _normal_eq_from_residual(s, iw, valid)
+
+        lam_next = _anneal(s.lam)
         dp, err = solve_normal(h, b, live, precond=scale)
 
         p_new = compose_inverse(s.p, pad_params(dp), ttype)
