@@ -99,6 +99,7 @@ def ic_solve(
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
     verbose: bool = False,
+    collect_trace: bool = False,
 ):
     """Estimate p aligning I2 to I1 at a single scale.
 
@@ -112,9 +113,18 @@ def ic_solve(
         IRLS with that rho'.
       lam: robust threshold; <= 0 enables the LAMBDA_0 -> LAMBDA_N annealing
         schedule (reference: src/inverse_compositional_algorithm.py:223,235-238).
+      collect_trace: when True, iterate a fixed max_iter-step lax.scan
+        instead of the early-exiting while_loop and ALSO return the
+        per-iteration history (error [max_iter, B], p [max_iter, B, 8],
+        lam [max_iter]) — the |Dp|/p traces of the reference's verbose
+        mode (src/inverse_compositional_algorithm.py:125-129), for golden
+        comparison against the stored IPOL C++ console traces
+        (reference docs/Algortihm Report.md:38-433). Converged pairs hold
+        their final values for the remaining steps.
 
     Returns:
-      ICState with final parameters, per-pair error and iteration counts.
+      ICState with final parameters, per-pair error and iteration counts;
+      with collect_trace, the tuple (ICState, (error_hist, p_hist, lam_hist)).
     """
     bsz, hh, ww, _ = i1.shape
     dt = i1.dtype
@@ -264,4 +274,11 @@ def ic_solve(
         niters=jnp.zeros((bsz,), jnp.int32),
         active=jnp.ones((bsz,), bool),
     )
+    if collect_trace:
+        def scan_body(s, _):
+            s2 = body(s)
+            return s2, (s2.error, s2.p, s2.lam)
+
+        state, trace = jax.lax.scan(scan_body, init, None, length=max_iter)
+        return state, trace
     return jax.lax.while_loop(lambda s: jnp.any(s.active), body, init)

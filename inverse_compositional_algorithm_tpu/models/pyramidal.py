@@ -50,16 +50,22 @@ def pyramidal_solve(
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
     verbose: bool = False,
+    collect_trace: bool = False,
 ):
     """Full multi-scale alignment of batched pairs.
 
     Args:
       i1, i2: [B, H, W, C]; p0: [B, k<=8] initial parameters at the finest
       scale. Remaining args as in `ic_solve` / the reference driver.
+      collect_trace: also gather each scale's per-iteration
+        (error, p, lam) history (see ic_solve) — the per-scale |Dp| traces
+        of the reference's verbose pyramid (golden-comparable against
+        reference docs/Algortihm Report.md:133-433).
 
     Returns:
       (state, per_scale): final-scale ICState (p at level 0), plus the list
-      of per-scale ICStates coarsest-first for diagnostics.
+      of per-scale ICStates coarsest-first for diagnostics. With
+      collect_trace, (state, per_scale, traces) with traces coarsest-first.
     """
     _, hh, ww, _ = i1.shape
     shapes = pyramid_shapes(hh, ww, nscales, nu)
@@ -73,6 +79,7 @@ def pyramidal_solve(
         p = zoom_in_params(p, ttype, fw, fh, cw, ch)
 
     per_scale = []
+    traces = []
     state = None
     for s in range(nscales - 1, -1, -1):
         state = ic_solve(
@@ -81,9 +88,15 @@ def pyramidal_solve(
             nanifoutside=nanifoutside, delta=delta,
             precondition=precondition, hessian_chunk=hessian_chunk,
             use_pallas=use_pallas, verbose=verbose,
+            collect_trace=collect_trace,
         )
+        if collect_trace:
+            state, trace = state
+            traces.append(trace)
         per_scale.append(state)
         if s > 0:
             (fh, fw), (ch, cw) = shapes[s - 1], shapes[s]
             p = zoom_in_params(state.p, ttype, cw, ch, fw, fh)
+    if collect_trace:
+        return state, per_scale, traces
     return state, per_scale
