@@ -37,7 +37,7 @@ def test_translation_3scale_quadratic():
     cfg = ica.AlignConfig(transform=TransformType.TRANSLATION, nscales=3)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    np.testing.assert_allclose(est, [-10.000018, -4.999990], atol=2e-3)
+    np.testing.assert_allclose(est, [-10.000018, -4.999990], atol=1e-4)
 
 
 def test_translation_1scale_quadratic():
@@ -47,9 +47,10 @@ def test_translation_1scale_quadratic():
     cfg = ica.AlignConfig(transform=TransformType.TRANSLATION, nscales=1)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    np.testing.assert_allclose(est, [-9.999883, -4.999988], atol=5e-3)
-    # C++ needed 13 iterations; same ballpark expected
-    assert 8 <= int(res.niters) <= 20
+    np.testing.assert_allclose(est, [-9.999883, -4.999988], atol=1e-4)
+    # C++ needed exactly 13 iterations; so does this build (measured — the
+    # full per-iteration comparison lives in test_golden_traces.py).
+    assert int(res.niters) == 13
 
 
 def test_rotation_3scale_quadratic():
@@ -59,8 +60,7 @@ def test_rotation_3scale_quadratic():
     cfg = ica.AlignConfig(transform=TransformType.EUCLIDEAN, nscales=3)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    assert abs(est[2] - (-0.1)) < 1e-3
-    assert np.abs(est[:2]).max() < 0.05
+    np.testing.assert_allclose(est, [0.000138, 0.000128, -0.1], atol=1e-4)
 
 
 def test_euclidean_3scale_quadratic():
@@ -70,7 +70,7 @@ def test_euclidean_3scale_quadratic():
     cfg = ica.AlignConfig(transform=TransformType.EUCLIDEAN, nscales=3)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    np.testing.assert_allclose(est, [-10.449191, -3.976721, -0.1], atol=0.05)
+    np.testing.assert_allclose(est, [-10.449191, -3.976721, -0.1], atol=1e-4)
 
 
 def test_translation_robust_charbonnier():
@@ -82,7 +82,7 @@ def test_translation_robust_charbonnier():
                           robust=RobustLoss.CHARBONNIER)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    np.testing.assert_allclose(est, [-10.0, -5.0], atol=5e-3)
+    np.testing.assert_allclose(est, [-10.0, -5.0], atol=5e-4)
 
 
 def test_similarity_3scale_quadratic():
@@ -93,8 +93,8 @@ def test_similarity_3scale_quadratic():
     cfg = ica.AlignConfig(transform=TransformType.SIMILARITY, nscales=3)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    assert abs(est[2] - 0.111108) < 1e-3
-    assert np.abs(est[[0, 1, 3]]).max() < 5e-3
+    np.testing.assert_allclose(
+        est, [-0.000282, 0.000022, 0.111108, -0.000001], atol=5e-4)
 
 
 def test_similarity_robust_charbonnier():
@@ -106,8 +106,12 @@ def test_similarity_robust_charbonnier():
                           robust=RobustLoss.CHARBONNIER)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    assert abs(est[2] - 0.111107) < 1e-3
-    assert np.abs(est[[0, 1, 3]]).max() < 5e-3
+    # IRLS trajectories deviate slightly from the C++ (same documented
+    # behavior as the reference numpy port, docs/Algortihm Report.md:438);
+    # the scale parameter is pinned tightly, translation to ~1/200 px.
+    np.testing.assert_allclose(est[2], 0.111107, atol=5e-4)
+    np.testing.assert_allclose(
+        est[[0, 1, 3]], [-0.000247, 0.000160, -0.000002], atol=5e-3)
 
 
 def test_euclidean_robust_charbonnier():
@@ -118,7 +122,7 @@ def test_euclidean_robust_charbonnier():
                           robust=RobustLoss.CHARBONNIER)
     res = ica.align(i1, i2, cfg)
     est = np.asarray(res.params(cfg))
-    np.testing.assert_allclose(est, [-10.449181, -3.976687, -0.1], atol=0.05)
+    np.testing.assert_allclose(est, [-10.449181, -3.976687, -0.1], atol=1e-3)
 
 
 def test_transform_image_roundtrip():
