@@ -41,6 +41,9 @@ class AlignConfig:
     precondition: bool = True        # Hartley-normalize the Jacobian columns
     hessian_chunk: int = 16384       # pixels per Hessian accumulation step
     use_pallas: bool = True          # fused Pallas normal-equation kernel on TPU
+    interpret: bool = False          # run Pallas kernels in interpreter mode
+    #   (CPU-testable validation of the use_pallas paths; keeps use_pallas
+    #   active off-TPU instead of silently rewriting it to False)
     verbose: bool = False
 
     def validate(self) -> "AlignConfig":

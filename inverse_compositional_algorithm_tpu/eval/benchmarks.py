@@ -62,23 +62,30 @@ def _base_image(height: int, width: int, dtype=jnp.float32):
 
 
 def make_bench_batch(batch: int, height: int, width: int,
-                     transform: TransformType, seed: int = 0):
-    """[B,H,W,C] pair batch with per-pair random ground-truth motions of
-    realistic magnitude (a few pixels at the borders)."""
+                     transform: TransformType, seed: int = 0,
+                     hard: bool = False):
+    """[B,H,W,C] pair batch with per-pair random ground-truth motions.
+
+    hard=False: realistic small motions (a few pixels at the borders) —
+    the steady-state video-alignment regime. hard=True: large mixed
+    motions (tens of pixels of translation, rotation-scale linear parts up
+    to ~0.06, i.e. tens of pixels of border displacement) that stress the
+    coarse pyramid levels and the solvers' full iteration budget."""
     img = _base_image(height, width)
     rng = np.random.default_rng(seed)
     l = max(height, width)
+    tr, lin = (15.0, 35.0 / l) if hard else (3.0, 2.0 / l)
     p = np.zeros((batch, 8), np.float32)
-    p[:, :2] = rng.uniform(-3.0, 3.0, (batch, 2))
+    p[:, :2] = rng.uniform(-tr, tr, (batch, 2))
     if transform is TransformType.HOMOGRAPHY:
-        p[:, [0, 1, 3, 4]] = rng.uniform(-2.0 / l, 2.0 / l, (batch, 4))
-        p[:, 2] = rng.uniform(-3.0, 3.0, batch)
-        p[:, 5] = rng.uniform(-3.0, 3.0, batch)
+        p[:, [0, 1, 3, 4]] = rng.uniform(-lin, lin, (batch, 4))
+        p[:, 2] = rng.uniform(-tr, tr, batch)
+        p[:, 5] = rng.uniform(-tr, tr, batch)
         p[:, 6:8] = rng.uniform(-2.0 / (l * l), 2.0 / (l * l), (batch, 2))
     elif transform is not TransformType.TRANSLATION:
         k = {TransformType.EUCLIDEAN: 1, TransformType.SIMILARITY: 2,
              TransformType.AFFINITY: 4}[transform]
-        p[:, 2:2 + k] = rng.uniform(-2.0 / l, 2.0 / l, (batch, k))
+        p[:, 2:2 + k] = rng.uniform(-lin, lin, (batch, k))
 
     gx, gy = transform_grid(pad_params(jnp.asarray(p)), transform, height, width)
     i1 = bicubic_sample(jnp.broadcast_to(img[None], (batch, *img.shape)), gx, gy)
@@ -105,26 +112,9 @@ def _bench_scan(i1, i2, p0s, scales, cfg, k: int):
     return acc, nit
 
 
-def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
-                  transform: TransformType = TransformType.HOMOGRAPHY,
-                  robust: RobustLoss = RobustLoss.CHARBONNIER,
-                  nscales: int = 5, repeats: int = 4, repeats0: int = 1,
-                  config: AlignConfig | None = None) -> dict:
-    """Measure device throughput of `repeats` full alignments of the batch.
-
-    Returns the bench.py JSON record. Throughput is computed from the
-    two-point difference between a `repeats`-step and a `repeats0`-step
-    on-device scan (see module docstring), so transport round-trips,
-    host<->device transfers and dispatch overhead cancel; every pair runs
-    its full per-pair convergence in every counted step.
-    """
-    assert repeats > repeats0 >= 1
-    cfg = config or AlignConfig(transform=transform, robust=robust,
-                                nscales=nscales)
-    cfg.validate()
-    if cfg.use_pallas and jax.default_backend() != "tpu":
-        cfg = cfg.replace(use_pallas=False)
-    i1, i2, _ = make_bench_batch(batch, height, width, transform)
+def _measure(i1, i2, cfg, batch, repeats, repeats0):
+    """(pairs_per_sec, seconds_per_batch, mean_finest_iters) of the full
+    alignment via the two-point on-device scan."""
     rng = np.random.default_rng(1)
     p0s = jnp.asarray(rng.uniform(-1e-4, 1e-4, (repeats, batch, 8)),
                       jnp.float32)
@@ -144,17 +134,136 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
     t2 = time.perf_counter()
 
     per_batch = ((t2 - t1) - (t1 - t0)) / (repeats - repeats0)
-    pairs_per_sec = batch / per_batch
-    mean_iters = float(np.asarray(nit, np.float64).mean())
+    return (batch / per_batch, per_batch,
+            float(np.asarray(nit, np.float64).mean()))
+
+
+def kernel_roofline(batch: int, height: int, width: int,
+                    transform: TransformType, robust: RobustLoss) -> dict:
+    """Roofline accounting for the fused-iteration hot kernel.
+
+    Times fused_iter_moments at the bench shape (two-point on-device scan)
+    and reports achieved HBM bandwidth vs the v5e peak (819 GB/s). The
+    byte model counts each operand plane once per kernel invocation: the
+    resident planar moving image + the per-tile-streamed template/gradient/
+    moment planes + the coordinate fields + the [B,K,8,8] output.
+
+    The kernel is VPU-bound by design (per-lane tap gathers + dense Keys
+    FMAs), so %-of-HBM-peak far below 100 is expected; the number exists
+    to quantify the gap the north star asks about (BASELINE.json).
+    """
+    from functools import partial as _partial
+
+    from ..models.ic import _masked_residual  # noqa: F401 (docs parity)
+    from ..ops.gradients import boundary_band_mask, central_gradients
+    from ..ops.normal_equations import grad_moments
+    from ..ops.pallas.fused_iter import fused_iter_moments, plan_fused_iter
+    from ..ops.transforms import pad_params, transform_grid
+
+    i1, i2, p_gt = make_bench_batch(batch, height, width, transform)
+    gx, gy = transform_grid(pad_params(jnp.asarray(p_gt)), transform,
+                            height, width)
+    ix, iy = central_gradients(i1)
+    band = boundary_band_mask(height, width, 10).astype(jnp.float32)
+    ix = ix * band[None, :, :, None]
+    iy = iy * band[None, :, :, None]
+    gxx, gxy, gyy = grad_moments(ix, iy)
+    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=True)
+    assert plan is not None
+    lam = jnp.float32(5.0)
+
+    @_partial(jax.jit, static_argnames=("k",))
+    def scan_k(gx, gy, k: int):
+        def step(acc, _):
+            m = fused_iter_moments(
+                plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+                gx + acc * 1e-12, gy, lam, height=height, width=width,
+                robust=robust, nanifoutside=True, delta=10)
+            return acc + m.sum(), None
+
+        return jax.lax.scan(step, jnp.float32(0.0), None, length=k)[0]
+
+    k, k0 = 12, 3
+    float(scan_k(gx, gy, k0))
+    float(scan_k(gx, gy, k))
+    t0 = time.perf_counter()
+    float(scan_k(gx, gy, k0))
+    t1 = time.perf_counter()
+    float(scan_k(gx, gy, k))
+    t2 = time.perf_counter()
+    ms = ((t2 - t1) - (t1 - t0)) / (k - k0) * 1e3
+
+    _, c, hp8, wp = plan.i2p.shape
+    nplanes = 3 * c + 3
+    bytes_per_pair = (c * hp8 * wp + nplanes * hp8 * wp
+                      + 2 * height * width) * 4
+    gbs = bytes_per_pair * batch / (ms * 1e-3) / 1e9
     return {
+        "fused_iter_ms_per_batch": round(ms, 3),
+        "fused_iter_gbs": round(gbs, 1),
+        "pct_hbm_peak": round(100.0 * gbs / 819.0, 1),
+    }
+
+
+def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
+                  transform: TransformType = TransformType.HOMOGRAPHY,
+                  robust: RobustLoss = RobustLoss.CHARBONNIER,
+                  nscales: int = 5, repeats: int = 4, repeats0: int = 1,
+                  config: AlignConfig | None = None,
+                  full: bool = True) -> dict:
+    """Measure device throughput of `repeats` full alignments of the batch.
+
+    Returns the bench.py JSON record. Throughput is computed from the
+    two-point difference between a `repeats`-step and a `repeats0`-step
+    on-device scan (see module docstring), so transport round-trips,
+    host<->device transfers and dispatch overhead cancel; every pair runs
+    its full per-pair convergence in every counted step.
+
+    With full=True the record also carries (round-2 review items):
+      * a hard-motion line (large mixed motions incl. rotations) so
+        pairs/s is not flattered by near-instant convergence;
+      * a fixed-iteration line (tol ~ 0 -> every pair runs MAX_ITER at
+        every scale) pinning the pure per-iteration cost;
+      * the fused-kernel roofline (achieved GB/s, % of HBM peak).
+    """
+    assert repeats > repeats0 >= 1
+    cfg = config or AlignConfig(transform=transform, robust=robust,
+                                nscales=nscales)
+    cfg.validate()
+    if cfg.use_pallas and jax.default_backend() != "tpu":
+        cfg = cfg.replace(use_pallas=False)
+    i1, i2, _ = make_bench_batch(batch, height, width, transform)
+    pps, per_batch, mean_iters = _measure(i1, i2, cfg, batch, repeats,
+                                          repeats0)
+    rec = {
         "metric": f"pairs/sec/chip ({transform.name.lower()}, "
                   f"{robust.name.lower()}, {nscales}-scale, {height}x{width})",
-        "value": round(pairs_per_sec, 3),
+        "value": round(pps, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
+        "vs_baseline": round(pps / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
         "batch": batch,
         "seconds_per_batch": round(per_batch, 4),
         "mean_finest_iters": round(mean_iters, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
         "timing": "on-device scan, two-point (RTT-cancelled)",
     }
+    if not full:
+        return rec
+
+    i1h, i2h, _ = make_bench_batch(batch, height, width, transform,
+                                   seed=7, hard=True)
+    pps_h, _, it_h = _measure(i1h, i2h, cfg, batch, repeats, repeats0)
+    rec["hard_motion"] = {"pairs_per_sec": round(pps_h, 3),
+                          "vs_baseline": round(
+                              pps_h / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
+                          "mean_finest_iters": round(it_h, 1)}
+
+    cfg_fix = cfg.replace(tol=1e-9)
+    pps_f, sec_f, it_f = _measure(i1, i2, cfg_fix, batch, repeats, repeats0)
+    rec["fixed_30_iters"] = {"pairs_per_sec": round(pps_f, 3),
+                             "seconds_per_batch": round(sec_f, 4),
+                             "mean_finest_iters": round(it_f, 1)}
+
+    rec["roofline"] = kernel_roofline(batch, height, width, transform,
+                                      robust)
+    return rec

@@ -77,9 +77,8 @@ def profile_stages(batch: int = 16, height: int = 388, width: int = 584,
     ix = ix * band[None, :, :, None]
     iy = iy * band[None, :, :, None]
     gxx, gxy, gyy = grad_moments(ix, iy)
-    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy)
+    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=True)
     assert plan is not None
-    hb = plan.hb
     lam = jnp.float32(5.0)
 
     results: dict[str, float] = {}
@@ -96,27 +95,27 @@ def profile_stages(batch: int = 16, height: int = 388, width: int = 584,
                                                height, width)),
         (p0,))
 
-    add(f"pallas_warp_planar (hb={hb})",
+    add("pallas_warp_planar",
         lambda acc, ip, gx, gy: acc + pallas_warp_planar(
-            ip, gx + acc * eps, gy, height, width, hb=hb)[0, 0, 0, 0],
+            ip, gx + acc * eps, gy, height, width)[0, 0, 0, 0],
         (plan.i2p, gx, gy))
 
     add("warp_image_fast (checked, sane motion)",
         lambda acc, i2, ip, gx, gy: acc + warp_image_fast(
-            i2, ip, gx + acc * eps, gy, 10, hb)[0][0, 0, 0, 0],
+            i2, ip, gx + acc * eps, gy, 10)[0][0, 0, 0, 0],
         (i2, plan.i2p, gx, gy))
 
     add("fused_iter_moments (robust)",
         lambda acc, gx, gy: acc + fused_iter_moments(
             plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
-            gx + acc * eps, gy, lam, height=height, width=width, hb=hb,
+            gx + acc * eps, gy, lam, height=height, width=width,
             robust=robust, nanifoutside=True, delta=10).sum(),
         (gx, gy))
 
     add("fused_iter_moments (quadratic)",
         lambda acc, gx, gy: acc + fused_iter_moments(
-            plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
-            gx + acc * eps, gy, lam, height=height, width=width, hb=hb,
+            plan.i2p, plan.i1p, plan.ixp, plan.iyp, None,
+            gx + acc * eps, gy, lam, height=height, width=width,
             robust=None, nanifoutside=True, delta=10).sum(),
         (gx, gy))
 

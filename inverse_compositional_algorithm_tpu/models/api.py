@@ -64,19 +64,20 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         pyramid_method=config.pyramid_method,
         precondition=config.precondition,
         hessian_chunk=config.hessian_chunk, use_pallas=config.use_pallas,
-        verbose=config.verbose,
+        interpret=config.interpret, verbose=config.verbose,
     )
-    fast_hb = None
+    fast_warp_ok = False
     if config.use_pallas:
         from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
 
-        fast_hb = plan_fast_warp(i2.shape[1], i2.shape[2], i2.shape[3],
-                                 i2.dtype)
-    if fast_hb is not None:
+        fast_warp_ok = plan_fast_warp(i2.shape[1], i2.shape[2], i2.shape[3],
+                                      i2.dtype)
+    if fast_warp_ok:
         gx, gy = transform_grid(state.p, config.transform,
                                 i2.shape[1], i2.shape[2])
         iw, valid = warp_image_fast(i2, pad_planar(i2), gx, gy,
-                                    config.delta, fast_hb)
+                                    config.delta,
+                                    interpret=config.interpret)
     else:
         iw, valid = warp_image(i2, state.p, config.transform, config.delta)
     if config.nanifoutside:
@@ -107,10 +108,11 @@ def align(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
       AlignResult (batch dims match the input rank).
     """
     config.validate()
-    if config.use_pallas and (jax.default_backend() != "tpu"
-                              or dtype != jnp.float32):
+    if config.use_pallas and not config.interpret and (
+            jax.default_backend() != "tpu" or dtype != jnp.float32):
         # The fused Mosaic kernel targets TPU/f32; elsewhere use the pure
-        # XLA path (identical semantics, same oracle-tested math).
+        # XLA path (identical semantics, same oracle-tested math) — unless
+        # interpret mode explicitly asks to exercise the Pallas branches.
         config = config.replace(use_pallas=False)
     i1 = jnp.asarray(i1)
     i2 = jnp.asarray(i2)

@@ -98,6 +98,7 @@ def ic_solve(
     precondition: bool = True,
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
+    interpret: bool = False,
     verbose: bool = False,
     collect_trace: bool = False,
 ):
@@ -113,6 +114,9 @@ def ic_solve(
         IRLS with that rho'.
       lam: robust threshold; <= 0 enables the LAMBDA_0 -> LAMBDA_N annealing
         schedule (reference: src/inverse_compositional_algorithm.py:223,235-238).
+      interpret: run the Pallas kernels in interpreter mode (CPU-testable
+        validation of the use_pallas solver branch; no effect when
+        use_pallas is False).
       collect_trace: when True, iterate a fixed max_iter-step lax.scan
         instead of the early-exiting while_loop and ALSO return the
         per-iteration history (error [max_iter, B], p [max_iter, B, 8],
@@ -156,26 +160,26 @@ def ic_solve(
     # HBM intermediates (ops/pallas/fused_iter.py). The planar operands are
     # loop-invariant, so build them once here.
     fast_iter = None
-    fast_hb = None
+    fast_warp_ok = False
     if fused:
-        from ..ops.pallas.fused_iter import (
-            band_overflow, fused_iter_moments, plan_fused_iter,
-        )
+        from ..ops.pallas.fused_iter import fused_iter_moments, plan_fused_iter
 
-        fast_iter = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy)
+        fast_iter = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
+                                    robust=is_robust)
     if use_pallas and fast_iter is None:
         # Partially-fused fallback: Pallas banded warp replacing the XLA
         # gather sampler when the shape supports it (ops/pallas/warp.py).
         from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
 
-        fast_hb = plan_fast_warp(hh, ww, i2.shape[-1], dt)
-        if fast_hb is not None:
+        fast_warp_ok = plan_fast_warp(hh, ww, i2.shape[-1], dt)
+        if fast_warp_ok:
             i2_planar = pad_planar(i2)
 
     h_quad = None
     if not is_robust:
         if fused:
-            h_quad = fused_hessian(gxx, gxy, gyy, ttype=ttype)
+            h_quad = fused_hessian(gxx, gxy, gyy, ttype=ttype,
+                                   interpret=interpret)
         else:
             h_quad = hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk)
 
@@ -206,42 +210,38 @@ def ic_solve(
         if fused:
             if is_robust:
                 h, b = fused_normal_eq(rho * gxx, rho * gxy, rho * gyy,
-                                       rho * u, rho * v, ttype=ttype)
+                                       rho * u, rho * v, ttype=ttype,
+                                       interpret=interpret)
             else:
-                b = fused_rhs(u, v, ttype=ttype)
+                b = fused_rhs(u, v, ttype=ttype, interpret=interpret)
         else:
             b = rhs(u, v, jx, jy, weights=rho)
         return h, b
 
     def body(s: ICState) -> ICState:
         if fast_iter is not None:
-            # Fully-fused iteration: one kernel, with the exact XLA chain
-            # behind a cond for motions whose y-shear overflows the band.
+            # Fully-fused iteration: ONE kernel computes the whole normal
+            # system, exact for arbitrary motion (no fallback cond — a
+            # data-dependent lax.cond around a pallas_call faulted the TPU
+            # runtime, and the kernel no longer needs one).
             gx, gy = transform_grid(s.p, ttype, hh, ww)
-            overflow = band_overflow(gy, hh, fast_iter.hb)
-
-            def _fast():
-                m = fused_iter_moments(
-                    fast_iter.i2p, fast_iter.i1p, fast_iter.ixp,
-                    fast_iter.iyp, fast_iter.g3p, gx, gy, s.lam,
-                    height=hh, width=ww, hb=fast_iter.hb,
-                    robust=robust if is_robust else None,
-                    nanifoutside=nanifoutside, delta=delta)
-                if is_robust:
-                    return (_assemble_h(m[:, :3], ttype, hh, ww),
-                            _assemble_b(m[:, 3:], ttype, hh, ww))
-                return h_quad, _assemble_b(m, ttype, hh, ww)
-
-            def _slow():
-                iw = warp_image(i2, s.p, ttype, delta)
-                return _normal_eq_from_residual(s, *iw)
-
-            h, b = jax.lax.cond(overflow, _slow, _fast)
+            m = fused_iter_moments(
+                fast_iter.i2p, fast_iter.i1p, fast_iter.ixp,
+                fast_iter.iyp, fast_iter.g3p, gx, gy, s.lam,
+                height=hh, width=ww,
+                robust=robust if is_robust else None,
+                nanifoutside=nanifoutside, delta=delta,
+                interpret=interpret)
+            if is_robust:
+                h = _assemble_h(m[:, :3], ttype, hh, ww)
+                b = _assemble_b(m[:, 3:], ttype, hh, ww)
+            else:
+                h, b = h_quad, _assemble_b(m, ttype, hh, ww)
         else:
-            if fast_hb is not None:
+            if fast_warp_ok:
                 gx, gy = transform_grid(s.p, ttype, hh, ww)
                 iw, valid = warp_image_fast(i2, i2_planar, gx, gy, delta,
-                                            fast_hb)
+                                            interpret=interpret)
             else:
                 iw, valid = warp_image(i2, s.p, ttype, delta)
             h, b = _normal_eq_from_residual(s, iw, valid)
@@ -258,9 +258,11 @@ def ic_solve(
         still = still & (s.it + 1 < max_iter)
 
         if verbose:
+            # lambda printed post-anneal, the C++ verbose convention
+            # (docs/Algortihm Report.md:351: first line shows 72 = 80*0.9).
             jax.debug.print(
                 "iter {i}: |Dp|={e} p={p} lambda={l}",
-                i=s.it, e=error, p=p, l=s.lam, ordered=True,
+                i=s.it, e=error, p=p, l=lam_next, ordered=True,
             )
 
         return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,

@@ -49,6 +49,7 @@ def pyramidal_solve(
     precondition: bool = True,
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
+    interpret: bool = False,
     verbose: bool = False,
     collect_trace: bool = False,
 ):
@@ -87,7 +88,7 @@ def pyramidal_solve(
             tol=tol, max_iter=max_iter, robust=robust, lam=lam,
             nanifoutside=nanifoutside, delta=delta,
             precondition=precondition, hessian_chunk=hessian_chunk,
-            use_pallas=use_pallas, verbose=verbose,
+            use_pallas=use_pallas, interpret=interpret, verbose=verbose,
             collect_trace=collect_trace,
         )
         if collect_trace:

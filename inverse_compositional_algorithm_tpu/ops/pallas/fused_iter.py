@@ -14,11 +14,12 @@ Here one kernel reads each input plane exactly once and writes only the
 [B, K, 8, 8] coordinate-moment matrices (K = 5 robust / 2 quadratic); no
 per-pixel intermediate ever touches HBM. Per 8x128 output tile:
 
-  1. banded bicubic warp of the VMEM-resident planar moving image
-     (identical tap math and band logic to ops/pallas/warp.py — see its
-     module docstring for the layout and the band-coverage contract);
-  2. per-row epilogue: masked residual DI, robust weight rho'(sum_c DI^2),
-     channel-reduced moments u = sum_c Ix*DI, v = sum_c Iy*DI
+  1. banded bicubic warp of the VMEM-resident planar moving image into a
+     VMEM scratch tile (the shared tile core, ops/pallas/tile_warp.py:
+     fast shared-gather path for smooth warps, per-row banded general
+     path otherwise);
+  2. tile-wide epilogue: masked residual DI, robust weight rho'(sum_c
+     DI^2), channel-reduced moments u = sum_c Ix*DI, v = sum_c Iy*DI
      (semantics of models/ic._masked_residual +
      ops.normal_equations.robust_weights/residual_moments, reference
      src/inverse_compositional_algorithm.py:225-244);
@@ -27,9 +28,9 @@ per-pixel intermediate ever touches HBM. Per 8x128 output tile:
      the tile's contribution to the preconditioned H and b.
 
 The caller assembles H/b from the moments with the static per-transform
-tensors of ops/pallas/normal_eq and falls back to the exact XLA op chain
-via `lax.cond` when any tile's y-taps overflow the band (same predicate as
-ops/pallas/warp.warp_image_fast), so arbitrary motions stay exact.
+tensors of ops/pallas/normal_eq. The tile core is exact for arbitrary
+motion (segment-looped general path, tile_warp.py), so there is no
+fallback and no data-dependent cond around the kernel.
 """
 
 from __future__ import annotations
@@ -44,19 +45,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..normal_equations import RobustLoss, rhop
-from ..transforms import TransformType
-from ..warp import bicubic_sample, domain_mask, keys_cubic_weights
-from .normal_eq import _assemble_b, _assemble_h
-from .warp import TR, TW, pad_planar, plan_fast_warp
+from .tile_warp import TR, TW, warp_tile
+from .warp import pad_planar, plan_fast_warp
 
-__all__ = ["FusedIterPlan", "plan_fused_iter", "fused_iter_moments",
-           "band_overflow"]
+__all__ = ["FusedIterPlan", "plan_fused_iter", "fused_iter_moments"]
 
 _KPAD = 8   # moment maps padded to one sublane tile
 
 
 def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
-                 g3_ref, m_ref, *, height, width, chans, hb, inv_l,
+                 g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
                  robust: RobustLoss | None, nanifoutside: bool, delta: int,
                  nk: int):
     f32 = jnp.float32
@@ -70,95 +68,37 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
     gx = gx_ref[0]
     gy = gy_ref[0]
 
-    x0f = jnp.floor(gx)
-    y0f = jnp.floor(gy)
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    wxs = keys_cubic_weights(gx - x0f)
-    wys = keys_cubic_weights(gy - y0f)
+    # ---- warp this tile into VMEM scratch (shared tile core) ----
+    def write_row(cc, r, vals):
+        iw_ref[cc, r, :] = vals[0]
 
-    hp8 = img_ref.shape[2]
-    ym = (jnp.clip(jnp.min(y0) - 1, 0, hp8 - hb) // 8) * 8
-    ym = pl.multiple_of(ym, 8)
+    warp_tile(gx, gy, img_ref, write_row,
+              height=height, width=width, chans=chans)
 
-    gtx = [jnp.clip(x0 + (i - 1), 0, width - 1) for i in range(4)]
-    lty = [jnp.clip(jnp.clip(y0 + (j - 1), 0, height - 1) - ym, 0, hb - 1)
-           for j in range(4)]
-
-    ch = chans * hb
-    nych = hb // 8
+    # ---- tile-wide epilogue: residual, weight, channel-reduced moments ----
     d = float(delta)
+    valid = ((gx >= d) & (gx <= (width - 1) - d)
+             & (gy >= d) & (gy <= (height - 1) - d)).astype(f32)
 
-    rows = [None] * TR   # per-row [nk, TW] weighted-map rows
-    for r in range(TR):
-        # ---- banded warp (identical to ops/pallas/warp._warp_kernel) ----
-        cs = jnp.min(gtx[0][r : r + 1]) // TW
-        ce = jnp.max(gtx[3][r : r + 1]) // TW + 1
-        loc4 = [gtx[i][r : r + 1] for i in range(4)]
-        wx4 = [wxs[i][r : r + 1] for i in range(4)]
-
-        def chunk_body(c, e, loc4=loc4, wx4=wx4):
-            off = pl.multiple_of(c * TW, TW)
-            band = img_ref[0, :, pl.ds(ym, hb), pl.ds(off, TW)]
-            band = band.reshape(ch, TW)
-            for i in range(4):
-                loc = loc4[i] - c * TW
-                inb = (loc >= 0) & (loc < TW)
-                li = jnp.clip(loc, 0, TW - 1)
-                g = jnp.take_along_axis(
-                    band, jnp.broadcast_to(li, (ch, TW)), axis=1)
-                e = e + g * jnp.where(inb, wx4[i], 0.0)
-            return e
-
-        e_r = jax.lax.fori_loop(cs, ce, chunk_body,
-                                jnp.zeros((ch, TW), f32))
-
-        iw_rows = []
-        for cc in range(chans):
-            e_ch = e_r[cc * hb : (cc + 1) * hb]
-            acc = jnp.zeros((8, TW), f32)
-            for j in range(4):
-                lj = lty[j][r : r + 1]
-                wj = wys[j][r : r + 1]
-                for sc in range(nych):
-                    src = e_ch[sc * 8 : (sc + 1) * 8]
-                    loc = lj - sc * 8
-                    inb = (loc >= 0) & (loc < 8)
-                    li = jnp.clip(loc, 0, 7)
-                    g = jnp.take_along_axis(
-                        src, jnp.broadcast_to(li, (8, TW)), axis=0)
-                    acc = acc + g * jnp.where(inb, wj, 0.0)
-            iw_rows.append(acc[:1])                    # [1, TW]
-
-        # ---- epilogue: residual, weight, channel-reduced moments ----
-        gxr = gx[r : r + 1]
-        gyr = gy[r : r + 1]
-        valid = ((gxr >= d) & (gxr <= (width - 1) - d)
-                 & (gyr >= d) & (gyr <= (height - 1) - d)).astype(f32)
-
-        u = jnp.zeros((1, TW), f32)
-        v = jnp.zeros((1, TW), f32)
-        t2 = jnp.zeros((1, TW), f32)
-        for cc in range(chans):
-            i1c = i1_ref[0, cc, r, :].reshape(1, TW)
-            if nanifoutside:
-                dic = (iw_rows[cc] - i1c) * valid
-            else:
-                dic = iw_rows[cc] * valid - i1c
-            u = u + ix_ref[0, cc, r, :].reshape(1, TW) * dic
-            v = v + iy_ref[0, cc, r, :].reshape(1, TW) * dic
-            if robust is not None:
-                t2 = t2 + dic * dic
-
-        if robust is not None:
-            rho = rhop(t2, lam_ref[0, 0], robust)
-            maps = [rho * g3_ref[0, k, r, :].reshape(1, TW) for k in range(3)]
-            maps += [rho * u, rho * v]
+    u = jnp.zeros((TR, TW), f32)
+    v = jnp.zeros((TR, TW), f32)
+    t2 = jnp.zeros((TR, TW), f32)
+    for cc in range(chans):
+        i1c = i1_ref[0, cc]
+        if nanifoutside:
+            dic = (iw_ref[cc] - i1c) * valid
         else:
-            maps = [u, v]
-        rows[r] = jnp.concatenate(maps, axis=0)        # [nk, TW]
+            dic = iw_ref[cc] * valid - i1c
+        u = u + ix_ref[0, cc] * dic
+        v = v + iy_ref[0, cc] * dic
+        if robust is not None:
+            t2 = t2 + dic * dic
 
-    w_all = jnp.stack(rows, axis=0)                    # [TR, nk, TW]
+    if robust is not None:
+        rho = rhop(t2, lam_ref[0, 0], robust)
+        maps = [rho * g3_ref[0, k] for k in range(3)] + [rho * u, rho * v]
+    else:
+        maps = [u, v]
 
     # Real-pixel mask (grid is edge-padded to full tiles).
     lx = jax.lax.broadcasted_iota(jnp.int32, (TR, TW), 1) + tx * TW
@@ -191,16 +131,16 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
 
     hi = jax.lax.Precision.HIGHEST
     for k in range(nk):
-        wk = w_all[:, k, :] * ok                       # [TR, TW]
+        wk = maps[k] * ok                              # [TR, TW]
         wx = jnp.dot(wk, x_mat, preferred_element_type=f32, precision=hi)
         m = jnp.dot(y_mat, wx, preferred_element_type=f32, precision=hi)
         m_ref[0, k] += m
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "hb", "robust", "nanifoutside", "delta", "interpret"))
+    "height", "width", "robust", "nanifoutside", "delta", "interpret"))
 def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
-                       height: int, width: int, hb: int,
+                       height: int, width: int,
                        robust: RobustLoss | None, nanifoutside: bool,
                        delta: int, interpret: bool = False):
     """[B, K, 8, 8] weighted coordinate moments of one IC iteration.
@@ -209,11 +149,12 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
       i2p: [B, C, Hp, Wp] planar moving image (pad_planar).
       i1p, ixp, iyp: [B, C, Hp, Wp] planar template / its gradients
         (boundary-band pre-masked, like models/ic.py).
-      g3p: [B, 3, Hp, Wp] planar (gxx, gxy, gyy) moments; ignored (pass
-        i1p) when robust is None.
+      g3p: [B, 3, Hp, Wp] planar (gxx, gxy, gyy) moments; pass None on the
+        quadratic path (K = 2: u, v) — a 1-plane dummy is streamed instead
+        so no unused gradient-moment bytes leave HBM.
       gx, gy: [B, H, W] warp coordinates.
       lam: [] or [1] runtime robust threshold (ignored when robust is None).
-      robust: RobustLoss, or None for the quadratic path (K = 2: u, v).
+      robust: RobustLoss, or None for the quadratic path.
 
     Returns:
       m [B, K, 8, 8], K = 5 (w*gxx, w*gxy, w*gyy, w*u, w*v) or 2 (u, v);
@@ -227,14 +168,16 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         gx = jnp.pad(gx, pad, mode="edge")
         gy = jnp.pad(gy, pad, mode="edge")
     nk = 2 if robust is None else 5
+    if robust is None:
+        g3p = i2p[:, :1]     # 1-plane dummy, never read by the kernel
+    ng3 = g3p.shape[1]
     lam = jnp.asarray(lam, jnp.float32).reshape(1, 1)
     grid = (b, hp // TR, wg // TW)
     kernel = functools.partial(
-        _iter_kernel, height=height, width=width, chans=c, hb=hb,
+        _iter_kernel, height=height, width=width, chans=c,
         inv_l=1.0 / float(max(height, width)), robust=robust,
         nanifoutside=nanifoutside, delta=delta, nk=nk)
     tile = lambda bb, ty, tx: (bb, ty, tx)
-    whole = lambda bb, ty, tx: (bb, 0, 0, 0)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -243,42 +186,23 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hp8, wp), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+            pl.BlockSpec((1, c, hp8, wp), lambda bb, ty, tx: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng3, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nk, 8, 8), lambda bb, ty, tx: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nk, 8, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, TR, TW), jnp.float32)],
         interpret=interpret,
     )(lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
-
-
-def band_overflow(gy, height: int, hb: int):
-    """Scalar bool: does any 8x128 tile's y-tap span overflow the hb-band?
-
-    Exact twin of the predicate inside ops/pallas/warp.warp_image_fast
-    (shared so the fused-iteration caller can gate on the same condition).
-    """
-    b = gy.shape[0]
-    hh, ww = gy.shape[-2:]
-    typ = -(-hh // TR) * TR
-    txp = -(-ww // TW) * TW
-    y0 = jnp.floor(gy)
-    y0p = jnp.pad(y0, ((0, 0), (0, typ - hh), (0, txp - ww)), mode="edge")
-    y0t = y0p.reshape(b, typ // TR, TR, txp // TW, TW)
-    ymin = jnp.min(y0t, axis=(2, 4))
-    ymax = jnp.max(y0t, axis=(2, 4))
-    hp8 = -(-height // 8) * 8
-    ym = (jnp.clip(ymin - 1, 0, hp8 - hb) // 8) * 8
-    ytop = jnp.clip(ymax + 2, 0, height - 1)
-    return jnp.any(ytop - ym > hb - 1)
 
 
 @dataclass(frozen=True)
@@ -286,7 +210,6 @@ class FusedIterPlan:
     """Static feasibility + precomputed planar operands for the fused
     iteration (built once per ic_solve; everything here is loop-invariant)."""
 
-    hb: int
     i2p: Any
     i1p: Any
     ixp: Any
@@ -294,21 +217,23 @@ class FusedIterPlan:
     g3p: Any
 
 
-def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy) -> FusedIterPlan | None:
+def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
+                    robust: bool = True) -> FusedIterPlan | None:
     """Build the plan, or None when the shape/dtype is unsupported.
 
     VMEM budget mirrors plan_fast_warp (the resident planar moving image
-    dominates); the per-tile operand blocks are negligible.
+    dominates); the per-tile operand blocks are negligible. When robust is
+    False the (gxx, gxy, gyy) planes are not packed (the quadratic kernel
+    never reads them).
     """
     b, h, w, c = i1.shape
-    hb = plan_fast_warp(h, w, c, i1.dtype)
-    if hb is None:
+    if not plan_fast_warp(h, w, c, i1.dtype):
         return None
     return FusedIterPlan(
-        hb=hb,
         i2p=pad_planar(i2),
         i1p=pad_planar(i1),
         ixp=pad_planar(ix),
         iyp=pad_planar(iy),
-        g3p=pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1)),
+        g3p=(pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1))
+             if robust else None),
     )

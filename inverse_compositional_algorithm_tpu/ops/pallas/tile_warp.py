@@ -22,16 +22,20 @@ Two per-tile execution paths, selected by an in-kernel predicate:
   predicate enforces it; reference: src/bicubic_interpolation.py:8-23).
 
 * GENERAL path — anything else (large rotations/shears, far out-of-domain
-  rows): the round-2 banded algorithm, upgraded from a per-tile to a
-  per-output-row band so the in-kernel coverage extends to per-row y-spans
-  of HB-11 columns (|dgy/dx| <= (HB-11)/128 ~ 0.16 at HB=32, ~9.4
-  degrees) instead of per-tile spans. x-pass: 4 lane-gathers per row over
-  the [C*HB, TW] band; y-pass: 4 taps x HB/8 single-vreg sublane gathers.
+  rows): per output row, the image-clipped y-tap rows are covered by a
+  loop over absolute HB-row segments; each segment does the 4-tap x-pass
+  lane-gathers over its [C*HB, TW] band and sublane-gathers the y taps
+  that logically belong to it (each tap belongs to exactly one segment).
+  Smooth rows span ONE segment (the round-2 banded cost); arbitrary
+  motion — 90-degree rotations, diverged homographies with the
+  perspective denominator crossing zero mid-image — takes at most
+  ceil(height/HB) segments for the affected rows and stays EXACT.
 
-Callers only need the XLA fallback (`row_band_overflow`) when even the
-per-row band cannot cover the warp — which makes the fallback a rare
-extreme-motion escape hatch rather than a cliff the whole batch falls off
-whenever one pair rotates (round-2 "batch-global fallback" finding).
+There is deliberately NO fallback path: the kernel is exact for every
+input, so callers never wrap it in `lax.cond` (a data-dependent cond
+around a pallas_call faulted the TPU runtime, and the round-2 predicate
+was batch-global — one rotating pair collapsed the whole batch to a
+530 ms XLA gather path).
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ from jax.experimental import pallas as pl
 from ..warp import keys_cubic_weights
 
 __all__ = ["TR", "TW", "HB", "HB_FAST", "keys_eval", "warp_tile",
-           "row_band_overflow", "padded_height"]
+           "padded_height"]
 
 TR = 8        # output rows per tile (one vreg of sublanes)
 TW = 128      # output cols per tile (lane dim)
@@ -87,6 +91,10 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
     """
     f32 = jnp.float32
     hp8 = img_ref.shape[2]
+    # Bands never exceed the (padded) image height — short images just use
+    # the whole image as the band.
+    hb = min(HB, hp8)
+    hbf = min(HB_FAST, hp8)
 
     x0f = jnp.floor(gx)
     y0f = jnp.floor(gy)
@@ -98,13 +106,13 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
     x0mn = jnp.min(x0, axis=0, keepdims=True)          # [1, TW]
 
     # Fast-path preconditions (see module docstring).
-    ymf = (jnp.clip(ymin - 1, 0, hp8 - HB_FAST) // 8) * 8
+    ymf = (jnp.clip(ymin - 1, 0, hp8 - hbf) // 8) * 8
     fast = ((jnp.max(x0 - x0mn) <= 1)
-            & (ymax + 2 - ymf <= HB_FAST - 1)
+            & (ymax + 2 - ymf <= hbf - 1)
             & (ymin >= -2))
 
-    chf = chans * HB_FAST
-    ch = chans * HB
+    chf = chans * hbf
+    ch = chans * hb
 
     @pl.when(fast)
     def _fast():
@@ -116,7 +124,7 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
 
         def chunk_body(c, gs, cxs=cxs):
             off = pl.multiple_of(c * TW, TW)
-            band = img_ref[0, :, pl.ds(ym, HB_FAST), pl.ds(off, TW)]
+            band = img_ref[0, :, pl.ds(ym, hbf), pl.ds(off, TW)]
             band = band.reshape(chf, TW)
             out = []
             for j in range(5):
@@ -135,7 +143,7 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
         xm = x0mn.astype(f32)
         ymf32 = ym.astype(f32)
         s_col = jax.lax.broadcasted_iota(
-            jnp.int32, (HB_FAST, TW), 0).astype(f32)
+            jnp.int32, (hbf, TW), 0).astype(f32)
         for r in range(TR):
             gxr = gx[r : r + 1]
             gyr = gy[r : r + 1]
@@ -145,13 +153,17 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
                 f = f + gs[j] * keys_eval(gxr - (xm + (j - 1.0)))
             # Dense y weights over band rows; fold clipped top taps into
             # row 0 (only possible when the band starts at the image top).
-            wy = keys_eval(gyr - (ymf32 + s_col))          # [HB_FAST, TW]
+            wy = keys_eval(gyr - (ymf32 + s_col))          # [hbf, TW]
+            # Clipped top taps (rows -1..-3, reachable for gy in [-2, 1))
+            # all resolve to row 0 under the Neumann clamp; their weights
+            # vanish identically for gy >= 1 so the fold is always safe.
             extra = jnp.where(
                 ym == 0,
-                keys_eval(gyr + 1.0) + keys_eval(gyr + 2.0),
+                keys_eval(gyr + 1.0) + keys_eval(gyr + 2.0)
+                + keys_eval(gyr + 3.0),
                 jnp.zeros_like(gyr))
             wy = jnp.concatenate([wy[:1] + extra, wy[1:]], axis=0)
-            prod = f.reshape(chans, HB_FAST, TW) * wy[None]
+            prod = f.reshape(chans, hbf, TW) * wy[None]
             vals = jnp.sum(prod, axis=1)                   # [chans, TW]
             for cc in range(chans):
                 write_row(cc, r, vals[cc : cc + 1])
@@ -162,68 +174,74 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
         wys = keys_cubic_weights(gy - y0f)
         for r in range(TR):
             y0r = y0[r : r + 1]
-            ymr = (jnp.clip(jnp.min(y0r) - 1, 0, hp8 - HB) // 8) * 8
-            ymr = pl.multiple_of(ymr, 8)
+            # Absolute tap rows, image-clipped (Neumann) — bounded even for
+            # wildly out-of-domain coordinates, so the segment loop below
+            # is bounded by ceil(height / HB) in the worst case.
+            cty = [jnp.clip(y0r + (j - 1), 0, height - 1) for j in range(4)]
             gtx = [jnp.clip(x0[r : r + 1] + (i - 1), 0, width - 1)
                    for i in range(4)]
-            lty = [jnp.clip(
-                jnp.clip(y0r + (j - 1), 0, height - 1) - ymr, 0, HB - 1)
-                for j in range(4)]
             wx4 = [wxs[i][r : r + 1] for i in range(4)]
+            wy4 = [wys[j][r : r + 1] for j in range(4)]
             cs = jnp.min(gtx[0]) // TW
             ce = jnp.max(gtx[3]) // TW + 1
+            # y-taps are covered by hb-row segments anchored at the row's
+            # 8-aligned minimum tap (rows [ym_r + s*hb, ym_r + (s+1)*hb));
+            # every tap belongs to exactly one logical segment, so
+            # accumulating per segment is exact for ANY vertical span (no
+            # band-overflow escape hatch needed). Rows with tap span
+            # <= hb-8 (|dgy/dx| <~ (hb-11)/TW, ~9 degrees at hb=32) take a
+            # SINGLE segment — the cost of a fixed per-row band; only
+            # extreme rows loop, bounded by ceil(height/hb) segments.
+            ym_r = (jnp.min(cty[0]) // 8) * 8
+            smax = (jnp.max(cty[3]) - ym_r) // hb
 
-            def chunk_body(c, e, gtx=gtx, wx4=wx4, ymr=ymr):
-                off = pl.multiple_of(c * TW, TW)
-                band = img_ref[0, :, pl.ds(ymr, HB), pl.ds(off, TW)]
-                band = band.reshape(ch, TW)
-                for i in range(4):
-                    loc = gtx[i] - c * TW
-                    inb = (loc >= 0) & (loc < TW)
-                    li = jnp.clip(loc, 0, TW - 1)
-                    g = jnp.take_along_axis(
-                        band, jnp.broadcast_to(li, (ch, TW)), axis=1)
-                    e = e + g * jnp.where(inb, wx4[i], 0.0)
-                return e
+            def seg_body(s, accs, cty=cty, gtx=gtx, wx4=wx4, wy4=wy4,
+                         cs=cs, ce=ce, ym_r=ym_r):
+                # Physical slice start: clamped so the hb-row read stays
+                # inside the padded image; taps logically in segment s
+                # still index within [0, hb) after the clamp (hp8 >=
+                # height + 2 > any clipped tap row).
+                base = jnp.minimum(ym_r + s * hb, hp8 - hb)
+                base = pl.multiple_of(base, 8)
 
-            e_r = jax.lax.fori_loop(cs, ce, chunk_body,
-                                    jnp.zeros((ch, TW), f32))
-            for cc in range(chans):
-                e_ch = e_r[cc * HB : (cc + 1) * HB]
-                acc = jnp.zeros((8, TW), f32)
-                for j in range(4):
-                    lj = lty[j]
-                    wj = wys[j][r : r + 1]
-                    for sc in range(HB // 8):
-                        src = e_ch[sc * 8 : (sc + 1) * 8]
-                        loc = lj - sc * 8
-                        inb = (loc >= 0) & (loc < 8)
-                        li = jnp.clip(loc, 0, 7)
+                def chunk_body(c, e, base=base):
+                    off = pl.multiple_of(c * TW, TW)
+                    band = img_ref[0, :, pl.ds(base, hb), pl.ds(off, TW)]
+                    band = band.reshape(ch, TW)
+                    for i in range(4):
+                        loc = gtx[i] - c * TW
+                        inb = (loc >= 0) & (loc < TW)
+                        li = jnp.clip(loc, 0, TW - 1)
                         g = jnp.take_along_axis(
-                            src, jnp.broadcast_to(li, (8, TW)), axis=0)
-                        acc = acc + g * jnp.where(inb, wj, 0.0)
-                write_row(cc, r, acc[:1])
+                            band, jnp.broadcast_to(li, (ch, TW)), axis=1)
+                        e = e + g * jnp.where(inb, wx4[i], 0.0)
+                    return e
+
+                e_r = jax.lax.fori_loop(cs, ce, chunk_body,
+                                        jnp.zeros((ch, TW), f32))
+                out = []
+                for cc in range(chans):
+                    e_ch = e_r[cc * hb : (cc + 1) * hb]
+                    acc = accs[cc]
+                    for j in range(4):
+                        inseg = ((cty[j] - ym_r) // hb) == s
+                        loc = cty[j] - base
+                        li = jnp.clip(loc, 0, hb - 1)
+                        for sc in range(hb // 8):
+                            src = e_ch[sc * 8 : (sc + 1) * 8]
+                            lsc = li - sc * 8
+                            inb = inseg & (lsc >= 0) & (lsc < 8)
+                            g = jnp.take_along_axis(
+                                src, jnp.broadcast_to(jnp.clip(lsc, 0, 7),
+                                                      (8, TW)), axis=0)
+                            acc = acc + g * jnp.where(inb, wy4[j], 0.0)
+                    out.append(acc)
+                return tuple(out)
+
+            accs = jax.lax.fori_loop(
+                0, smax + 1, seg_body,
+                tuple(jnp.zeros((8, TW), f32) for _ in range(chans)))
+            for cc in range(chans):
+                write_row(cc, r, accs[cc][:1])
 
 
-def row_band_overflow(gy, height: int):
-    """[B] bool: does any OUTPUT ROW's y-tap span overflow the general
-    path's per-row HB band? Only then must a caller fall back to the XLA
-    gather sampler — the exact coverage contract of `warp_tile`'s general
-    path (per-row 8-aligned band of HB rows).
-
-    Evaluated in plain XLA on the same gy the kernel will see. Per output
-    row and 128-column tile segment: span = clip(max(y0)+2, 0, height-1)
-    - 8-aligned(clip(min(y0)-1, 0, Hp-HB)); overflow when span > HB-1.
-    """
-    b = gy.shape[0]
-    hh, ww = gy.shape[-2:]
-    txp = -(-ww // TW) * TW
-    hp8 = padded_height(height)
-    y0 = jnp.floor(gy)
-    y0p = jnp.pad(y0, ((0, 0), (0, 0), (0, txp - ww)), mode="edge")
-    y0t = y0p.reshape(b, hh, txp // TW, TW)
-    ymin = jnp.min(y0t, axis=-1)
-    ymax = jnp.max(y0t, axis=-1)
-    ym = (jnp.clip(ymin - 1, 0, hp8 - HB) // 8) * 8
-    ytop = jnp.clip(ymax + 2, 0, height - 1)
-    return jnp.any(ytop - ym > HB - 1, axis=(1, 2))

@@ -26,7 +26,6 @@ from inverse_compositional_algorithm_tpu.ops.normal_equations import (
     robust_weights,
 )
 from inverse_compositional_algorithm_tpu.ops.pallas.fused_iter import (
-    band_overflow,
     fused_iter_moments,
     plan_fused_iter,
 )
@@ -59,7 +58,7 @@ def _setup(ttype, p, b=2, h=37, w=53, c=3, delta=4, seed=0):
     iy = iy * band
     gxx, gxy, gyy = grad_moments(ix, iy)
     gx, gy = transform_grid(pp, ttype, h, w)
-    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy)
+    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=True)
     assert plan is not None
     return dict(i1=i1, i2=i2, ix=ix, iy=iy, gxx=gxx, gxy=gxy, gyy=gyy,
                 gx=gx, gy=gy, plan=plan, h=h, w=w, delta=delta, ttype=ttype)
@@ -81,9 +80,10 @@ def _oracle(e, robust, lam, nanifoutside=True):
 
 def _fused(e, robust, lam, nanifoutside=True):
     p = e["plan"]
-    m = fused_iter_moments(p.i2p, p.i1p, p.ixp, p.iyp, p.g3p, e["gx"],
-                           e["gy"], jnp.float32(lam), height=e["h"],
-                           width=e["w"], hb=p.hb, robust=robust,
+    m = fused_iter_moments(p.i2p, p.i1p, p.ixp, p.iyp,
+                           p.g3p if robust is not None else None,
+                           e["gx"], e["gy"], jnp.float32(lam),
+                           height=e["h"], width=e["w"], robust=robust,
                            nanifoutside=nanifoutside, delta=e["delta"],
                            interpret=True)
     if robust is not None:
@@ -104,7 +104,6 @@ CASES = [
 @pytest.mark.parametrize("ttype,p", CASES)
 def test_robust_matches_pipeline(ttype, p):
     e = _setup(ttype, p)
-    assert not bool(band_overflow(e["gy"], e["h"], e["plan"].hb))
     h_ref, b_ref = _oracle(e, RobustLoss.CHARBONNIER, 5.0)
     h_got, b_got = _fused(e, RobustLoss.CHARBONNIER, 5.0)
     hn = max(1.0, float(np.abs(np.asarray(h_ref)).max()))
@@ -149,25 +148,63 @@ def test_nanifoutside_false():
                                atol=2e-4)
 
 
-def test_band_overflow_matches_warp_predicate():
-    """Large rotation must trip the same predicate warp_image_fast uses."""
+def test_extreme_rotation_moments_match():
+    """A ~69-degree rotation (many y-segments per row) must still produce
+    the exact normal equations — no fallback path exists anymore."""
     e = _setup(TransformType.EUCLIDEAN, [0.0, 0.0, 1.2], h=64, w=200)
-    assert bool(band_overflow(e["gy"], e["h"], e["plan"].hb))
+    h_ref, b_ref = _oracle(e, RobustLoss.CHARBONNIER, 5.0)
+    h_got, b_got = _fused(e, RobustLoss.CHARBONNIER, 5.0)
+    hn = max(1.0, float(np.abs(np.asarray(h_ref)).max()))
+    bn = max(1.0, float(np.abs(np.asarray(b_ref)).max()))
+    np.testing.assert_allclose(np.asarray(h_got) / hn, np.asarray(h_ref) / hn,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b_got) / bn, np.asarray(b_ref) / bn,
+                               atol=2e-4)
 
 
-def test_solver_uses_fused_iter_end_to_end():
-    """ic_solve with use_pallas + interpret-able shapes converges to the
-    same parameters as the pure-XLA path on a synthetic pair."""
-    # covered on TPU by bench/driver; here we only check the plan wiring
-    # does not alter the XLA result when use_pallas=False.
-    from inverse_compositional_algorithm_tpu.models.ic import ic_solve
-    rng = np.random.default_rng(0)
+def _synthetic_pair(b=1, h=48, w=64, gt=(1.5, -1.0)):
     from inverse_compositional_algorithm_tpu.ops.pyramid import gaussian_blur
+
+    rng = np.random.default_rng(0)
     img = gaussian_blur(jnp.asarray(
-        rng.uniform(0, 255, (1, 48, 64, 3)), jnp.float32), 2.0)
-    p = pad_params(jnp.asarray([[1.5, -1.0]], jnp.float32))
-    gx, gy = transform_grid(p, TransformType.TRANSLATION, 48, 64)
+        rng.uniform(0, 255, (b, h, w, 3)), jnp.float32), 2.0)
+    p = pad_params(jnp.broadcast_to(jnp.asarray(gt, jnp.float32), (b, 2)))
+    gx, gy = transform_grid(p, TransformType.TRANSLATION, h, w)
     i1 = bicubic_sample(img, gx, gy)
-    s = ic_solve(i1, img, jnp.zeros((1, 8), jnp.float32),
-                 TransformType.TRANSLATION, delta=3, use_pallas=False)
-    np.testing.assert_allclose(np.asarray(s.p[0, :2]), [1.5, -1.0], atol=1e-2)
+    return i1, img
+
+
+@pytest.mark.parametrize("robust", [RobustLoss.QUADRATIC,
+                                    RobustLoss.CHARBONNIER])
+def test_solver_fused_branch_matches_xla(robust):
+    """ic_solve's use_pallas branch (fused_iter_moments + moment assembly +
+    band-overflow cond wiring, models/ic.py body()) runs via the Pallas
+    interpreter and must converge to the same parameters as the XLA path.
+    This is the fused-solver coverage round 2 lacked (ADVICE r2, medium)."""
+    from inverse_compositional_algorithm_tpu.models.ic import ic_solve
+
+    i1, i2 = _synthetic_pair()
+    p0 = jnp.zeros((1, 8), jnp.float32)
+    s_xla = ic_solve(i1, i2, p0, TransformType.TRANSLATION, delta=3,
+                     robust=robust, use_pallas=False)
+    s_pal = ic_solve(i1, i2, p0, TransformType.TRANSLATION, delta=3,
+                     robust=robust, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_pal.p[0, :2]), [1.5, -1.0],
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(s_pal.p), np.asarray(s_xla.p),
+                               atol=1e-4)
+    assert int(s_pal.niters[0]) == int(s_xla.niters[0])
+
+
+def test_align_interpret_pallas_end_to_end():
+    """Full align() with use_pallas + interpret exercises the fused solver,
+    the Pallas final warp, and the pyramid on CPU."""
+    import inverse_compositional_algorithm_tpu as ica
+
+    i1, i2 = _synthetic_pair(h=64, w=96, gt=(2.5, -1.5))
+    cfg = ica.AlignConfig(transform=TransformType.TRANSLATION, nscales=2,
+                          robust=RobustLoss.CHARBONNIER, delta=3,
+                          use_pallas=True, interpret=True)
+    res = ica.align(i1, i2, cfg)
+    np.testing.assert_allclose(np.asarray(res.p[0, :2]), [2.5, -1.5],
+                               atol=1e-2)
