@@ -23,10 +23,13 @@ multi-resolution stack.
 from __future__ import annotations
 
 import math
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import jax.numpy as jnp
 import jax
+
+_cache = _lru_cache(maxsize=None)
 
 from ..constants import ZOOM_SIGMA_ZERO
 from .warp import bicubic_sample
@@ -118,6 +121,47 @@ def _resample_matrix(n_in: int, coords: np.ndarray) -> np.ndarray:
     return s.astype(np.float32)
 
 
+def _blur_matrix(n: int, sigma: float) -> np.ndarray:
+    """[n, n] dense operator of the separable Gaussian blur with symmetric
+    (edge-mirror) boundary — exactly `gaussian_blur`'s per-axis action as a
+    matrix, so it can be fused with the resample matrix."""
+    if sigma <= 0:
+        return np.eye(n)
+    k = _gaussian_kernel(sigma)
+    r = (k.shape[0] - 1) // 2
+    g = np.zeros((n, n))
+    idx = np.arange(-r, n + r)
+    # numpy/scipy 'symmetric'/'reflect' index folding: ... 1 0 | 0 1 ... n-1 | n-1 ...
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= n, 2 * n - idx - 1, idx)
+    for i in range(n):
+        np.add.at(g[i], idx[i : i + 2 * r + 1], k)
+    return g
+
+
+@_cache
+def _zoom_matrices(h: int, w: int, nu: float, method: str):
+    """Per-axis fused blur+resample operators (M_y [H, nyy], M_x [W, nxx]).
+
+    Presmoothing and Keys resampling are both linear and axis-separable, so
+    the whole IPOL zoom-out is exactly TWO matmuls per level:
+    out = M_y^T I M_x with M = G(sigma) @ S. Built in float64, applied in
+    float32 — the same taps as conv-then-gather up to summation order, with
+    no MXU-hostile 1-channel depthwise convolutions on the hot path.
+    """
+    nxx, nyy = zoom_size(w, h, nu)
+    sigma = _aa_sigma(nu, method)
+    ox = np.arange(nxx, dtype=np.float64)
+    oy = np.arange(nyy, dtype=np.float64)
+    if method == "ipol":
+        sx, sy = ox / nu, oy / nu
+    else:
+        sx, sy = (ox + 0.5) / nu - 0.5, (oy + 0.5) / nu - 0.5
+    m_x = _blur_matrix(w, sigma) @ _resample_matrix(w, sx).astype(np.float64)
+    m_y = _blur_matrix(h, sigma) @ _resample_matrix(h, sy).astype(np.float64)
+    return m_y, m_x     # float64; cast to the image dtype at use
+
+
 def zoom_out(image, nu: float, method: str = "ipol"):
     """Downsample [B, H, W, C] by factor nu (< 1): presmooth + bicubic resample.
 
@@ -125,25 +169,17 @@ def zoom_out(image, nu: float, method: str = "ipol"):
     out/nu (reference src/zoom.py:52-58); "antialias" samples at pixel
     centers (out + 0.5)/nu - 0.5 like skimage/tf resize.
 
-    The resample grid is axis-separable and static, so instead of the
-    16-tap gather (slow on TPU) it is two small matmuls against constant
-    one-hot-weighted sampling matrices — numerically the same Keys taps,
-    compiled straight onto the MXU.
+    Blur and resample fold into one constant per-axis matrix each
+    (`_zoom_matrices`), so a pyramid level costs exactly two MXU matmuls —
+    no convolutions, no gathers.
     """
     b, h, w, c = image.shape
-    nxx, nyy = zoom_size(w, h, nu)
-    smoothed = gaussian_blur(image, _aa_sigma(nu, method))
-    ox = np.arange(nxx, dtype=np.float64)
-    oy = np.arange(nyy, dtype=np.float64)
-    if method == "ipol":
-        sx, sy = ox / nu, oy / nu
-    else:
-        sx, sy = (ox + 0.5) / nu - 0.5, (oy + 0.5) / nu - 0.5
-    s_x = jnp.asarray(_resample_matrix(w, sx), image.dtype)     # [W, nxx]
-    s_y = jnp.asarray(_resample_matrix(h, sy), image.dtype)     # [H, nyy]
+    m_y, m_x = _zoom_matrices(h, w, nu, method)
+    m_y = jnp.asarray(m_y, image.dtype)
+    m_x = jnp.asarray(m_x, image.dtype)
     hi = jax.lax.Precision.HIGHEST  # true-f32 MXU (see gaussian_blur note)
-    tmp = jnp.einsum("bhwc,hy->bywc", smoothed, s_y, precision=hi)
-    return jnp.einsum("bywc,wx->byxc", tmp, s_x, precision=hi)
+    tmp = jnp.einsum("bhwc,hy->bywc", image, m_y, precision=hi)
+    return jnp.einsum("bywc,wx->byxc", tmp, m_x, precision=hi)
 
 
 def build_pyramid(image, nscales: int, nu: float, method: str = "ipol"):
