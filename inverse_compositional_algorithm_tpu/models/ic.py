@@ -123,7 +123,10 @@ def ic_solve(
         lam [max_iter]) — the |Dp|/p traces of the reference's verbose
         mode (src/inverse_compositional_algorithm.py:125-129), for golden
         comparison against the stored IPOL C++ console traces
-        (reference docs/Algortihm Report.md:38-433). Converged pairs hold
+        (reference docs/Algortihm Report.md:38-433). The recorded lambda is
+        the POST-anneal value — the C++ print convention (its first robust
+        line shows 72 = 80*0.9, docs/Algortihm Report.md:351), asserted
+        exactly by tests/test_golden_traces.py. Converged pairs hold
         their final values for the remaining steps.
 
     Returns:
