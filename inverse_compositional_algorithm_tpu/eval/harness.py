@@ -88,19 +88,24 @@ def make_pairs(images: np.ndarray, ttype: TransformType,
 
 def evaluate(images: np.ndarray, config: AlignConfig,
              magnitude: float = 3.0, seed: int = 0) -> EvalResult:
-    """Align a randomly-warped copy of every image; report accuracy + speed."""
+    """Align a randomly-warped copy of every image; report accuracy + speed.
+
+    Timing uses the same RTT-cancelled two-point on-device scan as
+    eval/benchmarks.py — on tunneled TPU backends a single
+    dispatch-and-block measurement reflects transport latency (or, for
+    sub-RTT programs, nothing at all), not device work.
+    """
+    from .benchmarks import _measure
+
     i1, i2, gt = make_pairs(images, config.transform, magnitude, seed)
     b = i1.shape[0]
     p0 = jnp.zeros((b, 8), jnp.float32)
     if config.use_pallas and jax.default_backend() != "tpu":
         config = config.replace(use_pallas=False)
 
-    res = _align_batched(i1, i2, p0, config)   # compile + warm
-    jax.block_until_ready(res.p)
-    t0 = time.perf_counter()
     res = _align_batched(i1, i2, p0, config)
     jax.block_until_ready(res.p)
-    dt = time.perf_counter() - t0
+    pps, dt, _ = _measure(i1, i2, config, b, repeats=4, repeats0=1)
 
     k = nparams(config.transform)
     err = np.asarray(res.p)[:, :k] - gt[:, :k]
@@ -112,7 +117,7 @@ def evaluate(images: np.ndarray, config: AlignConfig,
         mse=float((err ** 2).mean()),
         mae=float(np.abs(err).mean()),
         max_err=float(np.abs(err).max()),
-        pairs_per_sec=b / dt,
+        pairs_per_sec=pps,
         seconds=dt,
         mean_iters=float(np.asarray(res.niters).mean()),
         converged_frac=float((np.asarray(res.error) <= config.tol).mean()),

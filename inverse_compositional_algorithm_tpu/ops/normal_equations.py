@@ -180,6 +180,12 @@ def hessian(gxx, gxy, gyy, jx, jy, weights=None, chunk: int = 16384):
         return acc + xx + xy + xy.transpose(0, 2, 1) + yy, None
 
     init = jnp.zeros((b, NPARAMS_MAX, NPARAMS_MAX), acc_dt)
+    # Under shard_map with variance checking, the carry must start with the
+    # same varying-manual-axes type the body produces (the inputs are
+    # device-varying); a no-op everywhere else.
+    vma = tuple(getattr(jax.typeof(w1), "vma", ()) or ())
+    if vma:
+        init = jax.lax.pcast(init, vma, to="varying")
     h, _ = jax.lax.scan(
         step,
         init,

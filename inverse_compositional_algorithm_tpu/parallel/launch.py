@@ -88,7 +88,9 @@ def main(argv=None) -> dict:
                       robust=RobustLoss[args.robust.upper()],
                       nscales=args.nscales)
 
+    pairs = ndev // args.tile
     b_global = args.batch_per_host * nproc
+    b_global = -(-b_global // pairs) * pairs   # round up to the pairs axis
     i1, i2, _ = make_bench_batch(b_global, args.height, args.width,
                                  cfg.transform, seed=pid)
 

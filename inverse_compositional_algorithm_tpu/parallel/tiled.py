@@ -191,13 +191,16 @@ def _build_tiled_fn(
             return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
                            niters=niters, active=still)
 
+        # Variance-checked shard_map: per-pair carries start with the
+        # pairs-varying type the loop body produces.
+        vary = lambda x: jax.lax.pcast(x, PAIRS_AXIS, to="varying")
         init = ICState(
             p=pad_params(jnp.asarray(p0_loc, dt)),
-            error=jnp.full((b_loc,), 1e10, dt),
+            error=vary(jnp.full((b_loc,), 1e10, dt)),
             lam=jnp.asarray(lam0, dt),
             it=jnp.asarray(0, jnp.int32),
-            niters=jnp.zeros((b_loc,), jnp.int32),
-            active=jnp.ones((b_loc,), bool),
+            niters=vary(jnp.zeros((b_loc,), jnp.int32)),
+            active=vary(jnp.ones((b_loc,), bool)),
         )
         s = lax.while_loop(lambda s: jnp.any(s.active), body, init)
         # Each pairs-shard runs its own while_loop trip count, so the
@@ -217,7 +220,7 @@ def _build_tiled_fn(
         mesh=mesh,
         in_specs=(P(PAIRS_AXIS, TILE_AXIS), P(PAIRS_AXIS), pp),
         out_specs=state_specs,
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(fn)
 
