@@ -93,6 +93,13 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    from .eval.run_eval import main as run_eval_main
+
+    run_eval_main(args.output)
+    return 0
+
+
 def main(argv=None) -> int:
     from .utils.profiling import enable_compilation_cache
 
@@ -132,6 +139,11 @@ def main(argv=None) -> int:
     be.add_argument("--nscales", type=int, default=5)
     be.add_argument("--repeats", type=int, default=3)
     be.set_defaults(fn=cmd_bench)
+
+    ev = sub.add_parser(
+        "eval", help="accuracy/speed sweeps (transforms, losses, depths)")
+    ev.add_argument("--output", help="write the sweep record JSON here")
+    ev.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)
     return args.fn(args)
