@@ -106,3 +106,24 @@ def test_cli_align_and_make_config(tmp_path, make_pair):
     from inverse_compositional_algorithm_tpu.config import read_config_file
     cfgs = read_config_file(cfgp)
     assert "pyramidal_inverse_compositional_algorithm" in cfgs
+
+
+def test_eval_plots(tmp_path):
+    """plots.py renders the three sweep charts from a recorded EVAL json
+    (reference plot_results parity)."""
+    import json
+
+    from inverse_compositional_algorithm_tpu.eval.plots import plot_record
+
+    row = dict(transform="EUCLIDEAN", robust="CHARBONNIER", nscales=3,
+               batch=2, mse=1e-8, mae=1e-4, max_err=3e-4, pairs_per_sec=10.0,
+               seconds=0.2, mean_iters=3.0, converged_frac=1.0)
+    rec = {"device": "test", "sweeps": {
+        "transforms": [row, {**row, "transform": "AFFINITY"}],
+        "robust_losses": [row],
+        "pyramid_levels": [row, {**row, "nscales": 5}],
+    }}
+    paths = plot_record(rec, str(tmp_path))
+    assert len(paths) == 3
+    import os
+    assert all(os.path.getsize(p) > 1000 for p in paths)
