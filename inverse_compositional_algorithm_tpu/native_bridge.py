@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["NativeUnavailable", "available", "warp_bicubic", "gradients",
-           "normal_eq"]
+           "normal_eq", "solve"]
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_REPO, "native", "libica_cpu.so")
@@ -51,6 +51,11 @@ def _load():
     lib.ica_gradients.argtypes = [f32p, i64, i64, i64, f32p, f32p]
     lib.ica_normal_eq.argtypes = [f32p, f32p, f32p, f32p, f32p, i64, i64,
                                   ctypes.c_int, f64p, f64p]
+    lib.ica_solve.argtypes = [f32p, f32p, i64, i64, i64, f64p,
+                              ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                              ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, f64p,
+                              ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return lib
 
@@ -95,3 +100,33 @@ def normal_eq(w1, w2, w3, wu, wv, ttype_value: int):
     bout = np.empty(8, np.float64)
     lib.ica_normal_eq(*maps, h, w, int(ttype_value), hout, bout)
     return hout, bout
+
+
+def solve(i1, i2, p0, ttype_value: int, robust_value: int = 0,
+          lam: float = 0.0, tol: float = 1e-3, max_iter: int = 30,
+          nanifoutside: bool = True, delta: int = 10):
+    """Complete single-pair IC / robust-IRLS solve in the native engine.
+
+    The accelerator-independent twin of models.ic.ic_solve (single scale,
+    single pair; f64 accumulation and solve, like the IPOL C++).
+
+    Args:
+      i1, i2: [H, W, C] images; p0: initial padded/unpadded params.
+      ttype_value / robust_value: TransformType.value / RobustLoss.value.
+
+    Returns: (p [8] float64, error, niters).
+    """
+    lib = _load()
+    a = np.ascontiguousarray(i1, np.float32)
+    b = np.ascontiguousarray(i2, np.float32)
+    h, w, c = a.shape
+    p = np.zeros(8, np.float64)
+    p0 = np.asarray(p0, np.float64).ravel()
+    p[: p0.shape[0]] = p0
+    err = np.zeros(1, np.float64)
+    nit = ctypes.c_int(0)
+    lib.ica_solve(a, b, h, w, c, p, int(ttype_value), int(robust_value),
+                  float(lam), float(tol), int(max_iter),
+                  int(bool(nanifoutside)), int(delta), err,
+                  ctypes.byref(nit))
+    return p, float(err[0]), int(nit.value)

@@ -64,3 +64,33 @@ def test_normal_eq_matches_jax(ttype):
              jnp.asarray(wv, jnp.float64)[None], jx, jy)
     np.testing.assert_allclose(hn, np.asarray(hj)[0], rtol=1e-5)
     np.testing.assert_allclose(bn, np.asarray(bj)[0], rtol=1e-5)
+
+
+def test_native_full_solve_matches_jax(make_pair):
+    """The native engine's complete single-pair solve converges to the same
+    parameters as ic_solve (f64 native vs preconditioned-f32 JAX)."""
+    import jax.numpy as jnp
+
+    from inverse_compositional_algorithm_tpu import native_bridge as nb
+    from inverse_compositional_algorithm_tpu.models.ic import ic_solve
+    from inverse_compositional_algorithm_tpu.ops.normal_equations import RobustLoss
+    from inverse_compositional_algorithm_tpu.ops.transforms import TransformType
+
+    if not nb.available():
+        pytest.skip("native library unavailable")
+    for ttype, gt, robust in (
+        (TransformType.TRANSLATION, [2.5, -1.75], 0),
+        (TransformType.EUCLIDEAN, [1.0, -0.5, 0.02], 4),  # charbonnier
+    ):
+        i1, i2 = make_pair(gt, ttype)
+        p_nat, err, nit = nb.solve(i1, i2, np.zeros(8), ttype.value,
+                                   robust_value=robust, delta=5)
+        s = ic_solve(jnp.asarray(i1, jnp.float32)[None],
+                     jnp.asarray(i2, jnp.float32)[None],
+                     jnp.zeros((1, 8), jnp.float32), ttype, delta=5,
+                     robust=RobustLoss(robust))
+        k = len(gt)
+        assert nit >= 2 and err < 1e-3
+        np.testing.assert_allclose(p_nat[:k], gt, atol=5e-3)
+        np.testing.assert_allclose(p_nat[:k], np.asarray(s.p[0, :k]),
+                                   atol=5e-3)
