@@ -22,7 +22,7 @@ import numpy as np
 from .config import AlignConfig, read_config_file, write_config_file
 from .models.api import align
 from .ops.normal_equations import RobustLoss
-from .ops.transforms import TransformType, nparams
+from .ops.transforms import TransformType
 from .utils.imageio import load_image, save_image
 
 

@@ -18,8 +18,7 @@ Differences from the reference (all deliberate):
 
 from __future__ import annotations
 
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

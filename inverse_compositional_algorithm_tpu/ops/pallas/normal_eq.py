@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import NPARAMS_MAX
-from ..transforms import TransformType, nparams
+from ..transforms import TransformType
 
 __all__ = ["fused_normal_eq", "fused_hessian", "fused_rhs",
            "weighted_moments"]

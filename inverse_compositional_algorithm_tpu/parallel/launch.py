@@ -71,8 +71,6 @@ def main(argv=None) -> dict:
                       process_id=args.process_id)
         init_distributed(**kw)
 
-    import jax.numpy as jnp
-
     from ..config import AlignConfig
     from ..eval.benchmarks import NUMPY_BASELINE_PAIRS_PER_SEC, make_bench_batch
     from ..ops.normal_equations import RobustLoss

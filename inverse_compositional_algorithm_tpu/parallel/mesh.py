@@ -14,8 +14,6 @@ Axes:
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 import jax
