@@ -80,7 +80,11 @@ def test_native_full_solve_matches_jax(make_pair):
         pytest.skip("native library unavailable")
     for ttype, gt, robust in (
         (TransformType.TRANSLATION, [2.5, -1.75], 0),
-        (TransformType.EUCLIDEAN, [1.0, -0.5, 0.02], 4),  # charbonnier
+        (TransformType.EUCLIDEAN, [1.0, -0.5, 0.02], 4),   # charbonnier
+        (TransformType.SIMILARITY, [0.5, -1.0, 0.01, -0.008], 0),
+        (TransformType.AFFINITY, [1.0, 0.5, 0.01, -0.005, 0.004, -0.01], 0),
+        (TransformType.HOMOGRAPHY,
+         [0.008, -0.004, 1.0, 0.005, -0.006, -0.75, 1e-6, -5e-7], 3),
     ):
         i1, i2 = make_pair(gt, ttype)
         p_nat, err, nit = nb.solve(i1, i2, np.zeros(8), ttype.value,
