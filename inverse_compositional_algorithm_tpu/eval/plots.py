@@ -23,12 +23,11 @@ def plot_record(record: dict, outdir: str = "eval_plots") -> list[str]:
     os.makedirs(outdir, exist_ok=True)
     written = []
     labels_by_sweep = {
-        "transforms": lambda r: r["transform"],
         "robust_losses": lambda r: r["robust"],
         "pyramid_levels": lambda r: str(r["nscales"]),
     }
     for sweep, rows in record.get("sweeps", {}).items():
-        label_of = labels_by_sweep.get(sweep, lambda r: "?")
+        label_of = labels_by_sweep.get(sweep, lambda r: r["transform"])
         labels = [label_of(r) for r in rows]
         fig, axes = plt.subplots(1, 3, figsize=(13, 3.6))
         for ax, key, title, log in (

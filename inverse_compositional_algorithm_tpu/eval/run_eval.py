@@ -91,6 +91,15 @@ def main(out_path: str | None = None) -> dict:
     record["sweeps"]["pyramid_levels"] = [
         dataclasses.asdict(r)
         for r in evaluate_pyramid_levels(images, base)]
+    # Stress sweep: ~10 px of border displacement with the full 5-scale
+    # pyramid — the large-random-motion regime where the reference's
+    # recorded eval (colab cell 18) reports MSE 75-208 with many
+    # non-converged pairs.
+    print("large-motion stress sweep (magnitude 10, 5 scales)...", flush=True)
+    record["sweeps"]["transforms_large_motion"] = [
+        dataclasses.asdict(r)
+        for r in evaluate_transforms(images, base.replace(nscales=5),
+                                     magnitude=10.0)]
 
     if out_path:
         with open(out_path, "w") as f:
