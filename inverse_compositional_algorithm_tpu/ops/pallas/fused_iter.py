@@ -130,10 +130,13 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
     y_mat = jnp.concatenate(ys, axis=0)                # [8, TR]
 
     hi = jax.lax.Precision.HIGHEST
+    # One batched first-stage contraction for all nk maps ([nk*TR, TW] @
+    # [TW, 8]), then nk tiny [8, TR] @ [TR, 8] reductions.
+    w_all = jnp.concatenate([m * ok for m in maps], axis=0)  # [nk*TR, TW]
+    wx_all = jnp.dot(w_all, x_mat, preferred_element_type=f32, precision=hi)
     for k in range(nk):
-        wk = maps[k] * ok                              # [TR, TW]
-        wx = jnp.dot(wk, x_mat, preferred_element_type=f32, precision=hi)
-        m = jnp.dot(y_mat, wx, preferred_element_type=f32, precision=hi)
+        m = jnp.dot(y_mat, wx_all[k * TR : (k + 1) * TR],
+                    preferred_element_type=f32, precision=hi)
         m_ref[0, k] += m
 
 
