@@ -138,15 +138,38 @@ def _measure(i1, i2, cfg, batch, repeats, repeats0):
             float(np.asarray(nit, np.float64).mean()))
 
 
+def hbm_peak_gbs() -> tuple[float, str]:
+    """(peak HBM GB/s, provenance) for the device running the bench.
+
+    Public per-generation figures; device kinds not in the table fall back
+    to the v5e number so pct_hbm_peak stays comparable across rounds, with
+    the provenance string flagging the assumption.
+    """
+    kind = getattr(jax.devices()[0], "device_kind", "") or ""
+    table = {
+        "TPU v4": 1228.0,
+        "TPU v5 lite": 819.0,
+        "TPU v5e": 819.0,
+        "TPU v5": 2765.0,     # v5p
+        "TPU v6 lite": 1640.0,  # v6e / Trillium
+    }
+    for name, peak in table.items():
+        if kind.startswith(name):
+            return peak, kind
+    return 819.0, f"assumed v5e (unknown device kind {kind!r})"
+
+
 def kernel_roofline(batch: int, height: int, width: int,
                     transform: TransformType, robust: RobustLoss) -> dict:
     """Roofline accounting for the fused-iteration hot kernel.
 
     Times fused_iter_moments at the bench shape (two-point on-device scan)
-    and reports achieved HBM bandwidth vs the v5e peak (819 GB/s). The
-    byte model counts each operand plane once per kernel invocation: the
-    resident planar moving image + the per-tile-streamed template/gradient/
-    moment planes + the coordinate fields + the [B,K,8,8] output.
+    and reports achieved HBM bandwidth vs the peak of the device actually
+    running the bench (derived from the device kind, recorded in the JSON;
+    unknown kinds fall back to the v5e figure and say so). The byte model
+    counts each operand plane once per kernel invocation: the resident
+    planar moving image + the per-tile-streamed template/gradient/moment
+    planes + the coordinate fields + the [B,K,8,8] output.
 
     The kernel is VPU-bound by design (per-lane tap gathers + dense Keys
     FMAs), so %-of-HBM-peak far below 100 is expected; the number exists
@@ -198,10 +221,13 @@ def kernel_roofline(batch: int, height: int, width: int,
     bytes_per_pair = (c * hp8 * wp + nplanes * hp8 * wp
                       + 2 * height * width) * 4
     gbs = bytes_per_pair * batch / (ms * 1e-3) / 1e9
+    peak, peak_src = hbm_peak_gbs()
     return {
         "fused_iter_ms_per_batch": round(ms, 3),
         "fused_iter_gbs": round(gbs, 1),
-        "pct_hbm_peak": round(100.0 * gbs / 819.0, 1),
+        "hbm_peak_gbs": peak,
+        "hbm_peak_source": peak_src,
+        "pct_hbm_peak": round(100.0 * gbs / peak, 1),
     }
 
 

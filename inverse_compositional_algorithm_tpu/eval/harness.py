@@ -93,6 +93,14 @@ def evaluate(images: np.ndarray, config: AlignConfig,
     eval/benchmarks.py — on tunneled TPU backends a single
     dispatch-and-block measurement reflects transport latency (or, for
     sub-RTT programs, nothing at all), not device work.
+
+    Note the two measurements differ in initialization: accuracy fields
+    (mse/mae/max_err/mean_iters/converged_frac) come from ONE align run
+    with p0 = 0 (the reference evaluator's setting), while
+    `pairs_per_sec`/`seconds` come from `_measure`'s multi-step scan whose
+    steps use tiny random warm-start perturbations (so no scan step is
+    loop-invariant). `seconds` is therefore scan-derived per-batch time,
+    not the wall time of the accuracy run.
     """
     from .benchmarks import _measure
 

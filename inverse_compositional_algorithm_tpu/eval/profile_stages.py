@@ -4,8 +4,9 @@ Times every pipeline stage (and the fused Pallas kernels) with on-device
 scans using the same RTT-cancelled two-point methodology as
 eval/benchmarks.py, on a *realistic* motion distribution (the bench
 workload's ±3 px / ±2/L homographies — NOT large random perspective
-params, which would trip the band-overflow fallback and profile the slow
-gather path instead of the fused kernel).
+params, which would send most tiles down the exact-but-slower per-row
+segment path of the tile warp and profile that instead of the shared-
+gather fast path the steady state actually runs).
 
 Run:  python -m inverse_compositional_algorithm_tpu.eval.profile_stages
 Produces the stage table plus an HBM-roofline line for the fused

@@ -177,9 +177,10 @@ def _synthetic_pair(b=1, h=48, w=64, gt=(1.5, -1.0)):
 @pytest.mark.parametrize("robust", [RobustLoss.QUADRATIC,
                                     RobustLoss.CHARBONNIER])
 def test_solver_fused_branch_matches_xla(robust):
-    """ic_solve's use_pallas branch (fused_iter_moments + moment assembly +
-    band-overflow cond wiring, models/ic.py body()) runs via the Pallas
-    interpreter and must converge to the same parameters as the XLA path.
+    """ic_solve's use_pallas branch (fused_iter_moments + moment assembly,
+    models/ic.py body()) runs via the Pallas interpreter and must converge
+    to the same parameters as the XLA path. (The tile warp is exact for
+    arbitrary motion — fast vs general per-tile paths differ only in cost.)
     This is the fused-solver coverage round 2 lacked (ADVICE r2, medium)."""
     from inverse_compositional_algorithm_tpu.models.ic import ic_solve
 
