@@ -45,6 +45,8 @@ class AlignConfig:
     #   (CPU-testable validation of the use_pallas paths; keeps use_pallas
     #   active off-TPU instead of silently rewriting it to False)
     verbose: bool = False
+    divergence_guard: bool = True    # freeze + flag catastrophically lost pairs
+    #   (models.ic._lost_overlap; the reference iterates them to max_iter)
 
     def validate(self) -> "AlignConfig":
         # The reference enforces TOL < 0.01

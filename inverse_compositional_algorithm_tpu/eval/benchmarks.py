@@ -193,7 +193,7 @@ def kernel_roofline(batch: int, height: int, width: int,
     gxx, gxy, gyy = grad_moments(ix, iy)
     plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=True)
     assert plan is not None
-    lam = jnp.float32(5.0)
+    lam = jnp.full((batch,), 5.0, jnp.float32)
 
     @_partial(jax.jit, static_argnames=("k",))
     def scan_k(gx, gy, k: int):

@@ -49,6 +49,7 @@ class EvalResult:
     seconds: float
     mean_iters: float
     converged_frac: float
+    diverged_frac: float  # pairs the finest-scale divergence guard tripped
 
 
 def random_params(batch: int, ttype: TransformType, height: int, width: int,
@@ -127,7 +128,9 @@ def evaluate(images: np.ndarray, config: AlignConfig,
         pairs_per_sec=pps,
         seconds=dt,
         mean_iters=float(np.asarray(res.niters).mean()),
-        converged_frac=float((np.asarray(res.error) <= config.tol).mean()),
+        converged_frac=float(((np.asarray(res.error) <= config.tol)
+                              & ~np.asarray(res.diverged)).mean()),
+        diverged_frac=float(np.asarray(res.diverged).mean()),
     )
 
 

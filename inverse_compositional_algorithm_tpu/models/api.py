@@ -47,6 +47,8 @@ class AlignResult:
     di: Any       # [B, H, W, C] final error image Iw - I1
     iw: Any       # [B, H, W, C] final warped I2
     valid: Any    # [B, H, W] bool, warp in-domain mask
+    diverged: Any  # [B] bool, finest-scale divergence guard tripped
+    #   (p reverted to that scale's warm start; see models.ic._lost_overlap)
 
     def params(self, config: AlignConfig):
         """Un-padded parameter vector(s) for the configured model."""
@@ -65,6 +67,7 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         precondition=config.precondition,
         hessian_chunk=config.hessian_chunk, use_pallas=config.use_pallas,
         interpret=config.interpret, verbose=config.verbose,
+        divergence_guard=config.divergence_guard,
     )
     fast_warp_ok = False
     if config.use_pallas:
@@ -87,7 +90,7 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
     iw = jnp.where(valid[..., None], iw, fill)
     di = iw - i1
     return AlignResult(p=state.p, error=state.error, niters=state.niters,
-                       di=di, iw=iw, valid=valid)
+                       di=di, iw=iw, valid=valid, diverged=state.diverged)
 
 
 _align_batched = partial(jax.jit, static_argnames=("config",))(_align_impl)
@@ -139,7 +142,8 @@ def align(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
     res = _align_batched(i1, i2, p0, config)
     if single:
         res = AlignResult(p=res.p[0], error=res.error[0], niters=res.niters[0],
-                          di=res.di[0], iw=res.iw[0], valid=res.valid[0])
+                          di=res.di[0], iw=res.iw[0], valid=res.valid[0],
+                          diverged=res.diverged[0])
     return res
 
 

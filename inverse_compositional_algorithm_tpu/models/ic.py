@@ -51,10 +51,11 @@ from ..ops.transforms import (
     pad_params,
     param_preconditioner,
     transform_grid,
+    transform_points,
 )
 from ..ops.warp import warp_image
 
-__all__ = ["ICState", "ic_solve"]
+__all__ = ["ICState", "ic_solve", "effective_delta"]
 
 
 @jax.tree_util.register_dataclass
@@ -62,12 +63,53 @@ __all__ = ["ICState", "ic_solve"]
 class ICState:
     """Per-pair solver state carried through the while_loop."""
 
-    p: Any        # [B, 8] padded parameters
-    error: Any    # [B] last applied ||dp||
-    lam: Any      # scalar annealed lambda (robust only)
-    it: Any       # scalar loop iteration
-    niters: Any   # [B] iterations actually applied per pair
-    active: Any   # [B] bool, pair still iterating
+    p: Any         # [B, 8] padded parameters
+    error: Any     # [B] last applied ||dp||
+    lam: Any       # [B] per-pair annealed lambda (robust only)
+    it: Any        # scalar loop iteration
+    niters: Any    # [B] iterations actually applied per pair
+    active: Any    # [B] bool, pair still iterating
+    diverged: Any  # [B] bool, divergence guard tripped (p reverted to p0)
+
+
+def effective_delta(delta: int, height: int, width: int) -> int:
+    """Cap the boundary-band margin so the interior never vanishes.
+
+    The reference applies the same `delta` at every pyramid level
+    (src/inverse_compositional_algorithm.py:340-372 passes it unchanged),
+    so at small coarse levels (e.g. 16x16 at 256^2 with 5 scales) the
+    delta=10 band masks EVERY gradient pixel: H is all-zero, the singular
+    fallback yields dp=0, and the level silently contributes nothing —
+    the root cause of the round-3 large-motion homography divergence
+    (the next level then starts from scratch with the full motion).
+    Capping delta at a quarter of the short side keeps >= half of each
+    dimension usable at every level; full-resolution behavior (and all
+    golden-trace shapes) are unaffected since their cap >> 10.
+    """
+    return min(int(delta), max(0, (min(height, width) - 1) // 4))
+
+
+def _lost_overlap(p, ttype: TransformType, height: int, width: int,
+                  margin: float = 0.5):
+    """[B] bool: the warp has catastrophically left the frame.
+
+    Probes the four image corners and the center through x'(x; p): a pair
+    is declared diverged when every probe lands outside the frame inflated
+    by `margin` (or is non-finite), i.e. template/moving overlap is
+    essentially gone and no further Gauss-Newton step can be informative.
+    Any legitimate alignment keeps probes far inside this bound, so the
+    guard can only fire on genuinely lost solutions.
+    """
+    xs = jnp.array([0.0, width - 1.0, 0.0, width - 1.0, (width - 1) / 2.0])
+    ys = jnp.array([0.0, 0.0, height - 1.0, height - 1.0, (height - 1) / 2.0])
+    gx, gy = transform_points(p, ttype, xs, ys)
+    mx, my = margin * width, margin * height
+    ok = (
+        (gx >= -mx) & (gx <= (width - 1) + mx)
+        & (gy >= -my) & (gy <= (height - 1) + my)
+        & jnp.isfinite(gx) & jnp.isfinite(gy)
+    )
+    return ~jnp.any(ok, axis=-1) | ~jnp.all(jnp.isfinite(p), axis=-1)
 
 
 def _masked_residual(iw, valid, i1, nanifoutside: bool):
@@ -101,6 +143,7 @@ def ic_solve(
     interpret: bool = False,
     verbose: bool = False,
     collect_trace: bool = False,
+    divergence_guard: bool = True,
 ):
     """Estimate p aligning I2 to I1 at a single scale.
 
@@ -129,13 +172,24 @@ def ic_solve(
         exactly by tests/test_golden_traces.py. Converged pairs hold
         their final values for the remaining steps.
 
+      divergence_guard: detect catastrophically lost pairs (all corner/
+        center probes outside the 1.5x-inflated frame, or non-finite p),
+        revert them to their warm start p0 and stop iterating them, with
+        the per-pair `diverged` flag set. The reference has no such guard
+        (src/inverse_compositional_algorithm.py:220-259 applies every step
+        unconditionally) — one lost pair there both poisons its own result
+        AND, in a batched setting, would drag the whole batch through
+        max_iter. The guard freezes that pair's lambda annealing too.
+
     Returns:
-      ICState with final parameters, per-pair error and iteration counts;
-      with collect_trace, the tuple (ICState, (error_hist, p_hist, lam_hist)).
+      ICState with final parameters, per-pair error / iteration counts /
+      diverged flags; with collect_trace, the tuple
+      (ICState, (error_hist [T,B], p_hist [T,B,8], lam_hist [T,B])).
     """
     bsz, hh, ww, _ = i1.shape
     dt = i1.dtype
     is_robust = robust is not RobustLoss.QUADRATIC
+    delta = effective_delta(delta, hh, ww)
 
     ix, iy = central_gradients(i1)
     if nanifoutside and delta > 0:
@@ -188,22 +242,25 @@ def ic_solve(
 
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
-    def _anneal(lam_cur):
+    def _anneal(lam_cur, act):
         if not is_robust or lam > 0:
             return lam_cur
         # Continuation: shrink lambda each iteration toward LAMBDA_N
-        # (applied after rho, like the reference).
-        return jnp.where(
+        # (applied after rho, like the reference) — per pair, and only
+        # while that pair is still stepping, so frozen/diverged pairs keep
+        # a well-defined lambda for diagnostics.
+        nxt = jnp.where(
             lam_cur > cts.LAMBDA_N,
             jnp.maximum(lam_cur * cts.LAMBDA_RATIO, cts.LAMBDA_N),
             lam_cur,
         )
+        return jnp.where(act, nxt, lam_cur)
 
     def _normal_eq_from_residual(s, iw, valid):
         """(h, b) via the separate-op pipeline (XLA / partial Pallas)."""
         di = _masked_residual(iw, valid, i1, nanifoutside)
         if is_robust:
-            rho = robust_weights(di, s.lam, robust)
+            rho = robust_weights(di, s.lam[:, None, None], robust)
             h = None if fused else hessian(gxx, gxy, gyy, jx, jy,
                                            weights=rho, chunk=hessian_chunk)
         else:
@@ -249,15 +306,23 @@ def ic_solve(
                 iw, valid = warp_image(i2, s.p, ttype, delta)
             h, b = _normal_eq_from_residual(s, iw, valid)
 
-        lam_next = _anneal(s.lam)
+        act = s.active
+        lam_next = _anneal(s.lam, act)
         dp, err = solve_normal(h, b, live, precond=scale)
 
         p_new = compose_inverse(s.p, pad_params(dp), ttype)
-        act = s.active
+        if divergence_guard:
+            bad = act & _lost_overlap(p_new, ttype, hh, ww)
+            # A lost pair reverts to its warm start — the honest "this
+            # level failed, pass the coarser estimate through" result —
+            # and stops iterating (the flag reports it).
+            p_new = jnp.where(bad[:, None], p0p, p_new)
+        else:
+            bad = jnp.zeros_like(act)
         p = jnp.where(act[:, None], p_new, s.p)
         error = jnp.where(act, err, s.error)
         niters = s.niters + act.astype(s.niters.dtype)
-        still = act & (err > tol)
+        still = act & (err > tol) & ~bad
         still = still & (s.it + 1 < max_iter)
 
         if verbose:
@@ -269,15 +334,18 @@ def ic_solve(
             )
 
         return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
-                       niters=niters, active=still)
+                       niters=niters, active=still,
+                       diverged=s.diverged | bad)
 
+    p0p = pad_params(jnp.asarray(p0, dt))
     init = ICState(
-        p=pad_params(jnp.asarray(p0, dt)),
+        p=p0p,
         error=jnp.full((bsz,), 1e10, dt),
-        lam=jnp.asarray(lam0, dt),
+        lam=jnp.full((bsz,), lam0, dt),
         it=jnp.asarray(0, jnp.int32),
         niters=jnp.zeros((bsz,), jnp.int32),
         active=jnp.ones((bsz,), bool),
+        diverged=jnp.zeros((bsz,), bool),
     )
     if collect_trace:
         def scan_body(s, _):

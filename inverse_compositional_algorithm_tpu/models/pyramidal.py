@@ -52,6 +52,7 @@ def pyramidal_solve(
     interpret: bool = False,
     verbose: bool = False,
     collect_trace: bool = False,
+    divergence_guard: bool = True,
 ):
     """Full multi-scale alignment of batched pairs.
 
@@ -89,7 +90,7 @@ def pyramidal_solve(
             nanifoutside=nanifoutside, delta=delta,
             precondition=precondition, hessian_chunk=hessian_chunk,
             use_pallas=use_pallas, interpret=interpret, verbose=verbose,
-            collect_trace=collect_trace,
+            collect_trace=collect_trace, divergence_guard=divergence_guard,
         )
         if collect_trace:
             state, trace = state

@@ -156,7 +156,8 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         quadratic path (K = 2: u, v) — a 1-plane dummy is streamed instead
         so no unused gradient-moment bytes leave HBM.
       gx, gy: [B, H, W] warp coordinates.
-      lam: [] or [1] runtime robust threshold (ignored when robust is None).
+      lam: [B] (or scalar, broadcast) per-pair runtime robust threshold
+        (ignored when robust is None).
       robust: RobustLoss, or None for the quadratic path.
 
     Returns:
@@ -174,7 +175,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
     if robust is None:
         g3p = i2p[:, :1]     # 1-plane dummy, never read by the kernel
     ng3 = g3p.shape[1]
-    lam = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (b,)).reshape(b, 1)
     grid = (b, hp // TR, wg // TW)
     kernel = functools.partial(
         _iter_kernel, height=height, width=width, chans=c,
@@ -185,7 +186,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bb, ty, tx: (0, 0),
+            pl.BlockSpec((1, 1), lambda bb, ty, tx: (bb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),

@@ -41,6 +41,7 @@ __all__ = [
     "compose_inverse",
     "invert_params",
     "transform_grid",
+    "transform_points",
     "jacobian_fields",
     "param_preconditioner",
     "zoom_in_params",
@@ -275,6 +276,36 @@ def transform_grid(p, ttype: TransformType, height: int, width: int,
             + m[..., 2, 1, None, None] * y[:, None]
             + m[..., 2, 2, None, None]
         )
+        gx = gx / d
+        gy = gy / d
+    return gx, gy
+
+
+def transform_points(p, ttype: TransformType, xs, ys):
+    """Map a small set of points through the warp: x'(x; p) at (xs, ys).
+
+    Args:
+      p: [..., 8] padded parameters.
+      xs, ys: [K] point coordinates (shared across the batch).
+
+    Returns:
+      (gx, gy): each [..., K]. Same math as `transform_grid` (reference
+      `project`, src/transformation.py:144-186) on scattered probe points
+      instead of the dense pixel grid — used e.g. by the divergence guard
+      to test whether the image corners still overlap the frame.
+    """
+    p = pad_params(p, ttype)
+    dt = p.dtype
+    m = params_to_matrix(p, ttype)
+    xs = jnp.asarray(xs, dt)
+    ys = jnp.asarray(ys, dt)
+    gx = (m[..., 0, 0, None] * xs + m[..., 0, 1, None] * ys
+          + m[..., 0, 2, None])
+    gy = (m[..., 1, 0, None] * xs + m[..., 1, 1, None] * ys
+          + m[..., 1, 2, None])
+    if ttype is TransformType.HOMOGRAPHY:
+        d = (m[..., 2, 0, None] * xs + m[..., 2, 1, None] * ys
+             + m[..., 2, 2, None])
         gx = gx / d
         gy = gy / d
     return gx, gy

@@ -189,7 +189,7 @@ def _build_tiled_fn(
             niters = s.niters + act.astype(s.niters.dtype)
             still = act & (err > tol) & (s.it + 1 < max_iter)
             return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
-                           niters=niters, active=still)
+                           niters=niters, active=still, diverged=s.diverged)
 
         # Variance-checked shard_map: per-pair carries start with the
         # pairs-varying type the loop body produces.
@@ -201,6 +201,7 @@ def _build_tiled_fn(
             it=jnp.asarray(0, jnp.int32),
             niters=vary(jnp.zeros((b_loc,), jnp.int32)),
             active=vary(jnp.ones((b_loc,), bool)),
+            diverged=vary(jnp.zeros((b_loc,), bool)),
         )
         s = lax.while_loop(lambda s: jnp.any(s.active), body, init)
         # Each pairs-shard runs its own while_loop trip count, so the
@@ -210,11 +211,11 @@ def _build_tiled_fn(
         return ICState(p=s.p, error=s.error,
                        lam=lax.pmin(s.lam, PAIRS_AXIS),
                        it=lax.pmax(s.it, PAIRS_AXIS),
-                       niters=s.niters, active=s.active)
+                       niters=s.niters, active=s.active, diverged=s.diverged)
 
     pp = P(PAIRS_AXIS)
     state_specs = ICState(p=pp, error=pp, lam=P(), it=P(), niters=pp,
-                          active=pp)
+                          active=pp, diverged=pp)
     fn = shard_map(
         shard_fn,
         mesh=mesh,

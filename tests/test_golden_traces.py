@@ -50,7 +50,7 @@ def run_traced(name, ttype, nscales, robust=RobustLoss.QUADRATIC):
     for s, (err, p, lam) in enumerate(traces):
         ni = int(per_scale[s].niters[0])
         out.append((ni, np.asarray(err[:, 0]), np.asarray(p[:, 0]),
-                    np.asarray(lam)))
+                    np.asarray(lam[:, 0])))
     return state, out
 
 
@@ -118,7 +118,10 @@ def test_robust_lambda_schedule_and_first_iterations():
         np.testing.assert_allclose(err[0], cpp[0][0], atol=2e-3, rtol=1e-3)
         np.testing.assert_allclose(p[0, :2], cpp[0][1:3], atol=2e-3)
         lam_cpp = [row[3] for row in cpp]
-        np.testing.assert_allclose(lam[: len(lam_cpp)], lam_cpp[: len(lam)],
-                                   rtol=1e-6)
+        # lambda anneals per pair only while the pair iterates (it freezes
+        # at convergence), so the schedule is comparable over the
+        # iterations BOTH runs performed; the C++ count may be 1 larger.
+        m = min(ni, len(lam_cpp), len(lam))
+        np.testing.assert_allclose(lam[:m], lam_cpp[:m], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(state.p[0, :2]), [-10.0, -5.0],
                                atol=5e-4)
