@@ -69,18 +69,19 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         interpret=config.interpret, verbose=config.verbose,
         divergence_guard=config.divergence_guard,
     )
-    fast_warp_ok = False
+    warp_mode = None
     if config.use_pallas:
-        from ..ops.pallas.warp import pad_planar, plan_fast_warp, warp_image_fast
+        from ..ops.pallas.warp import pad_planar, plan_warp_mode, warp_image_fast
 
-        fast_warp_ok = plan_fast_warp(i2.shape[1], i2.shape[2], i2.shape[3],
-                                      i2.dtype)
-    if fast_warp_ok:
+        warp_mode = plan_warp_mode(i2.shape[1], i2.shape[2], i2.shape[3],
+                                   i2.dtype)
+    if warp_mode is not None:
         gx, gy = transform_grid(state.p, config.transform,
                                 i2.shape[1], i2.shape[2])
         iw, valid = warp_image_fast(i2, pad_planar(i2), gx, gy,
                                     config.delta,
-                                    interpret=config.interpret)
+                                    interpret=config.interpret,
+                                    stream=(warp_mode == "stream"))
     else:
         iw, valid = warp_image(i2, state.p, config.transform, config.delta)
     if config.nanifoutside:

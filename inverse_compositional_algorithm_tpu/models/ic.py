@@ -291,7 +291,7 @@ def ic_solve(
                 height=hh, width=ww,
                 robust=robust if is_robust else None,
                 nanifoutside=nanifoutside, delta=delta,
-                interpret=interpret)
+                interpret=interpret, stream=fast_iter.stream)
             if is_robust:
                 h = _assemble_h(m[:, :3], ttype, hh, ww)
                 b = _assemble_b(m[:, 3:], ttype, hh, ww)

@@ -45,8 +45,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..normal_equations import RobustLoss, rhop
-from .tile_warp import TR, TW, warp_tile
-from .warp import pad_planar, plan_fast_warp
+from .tile_warp import HB, TR, TW, ResidentImage, warp_tile
+from .warp import (
+    _stream_prologue,
+    band_starts,
+    pad_planar,
+    plan_fast_warp,
+    stream_window_rows,
+)
 
 __all__ = ["FusedIterPlan", "plan_fused_iter", "fused_iter_moments"]
 
@@ -54,6 +60,33 @@ _KPAD = 8   # moment maps padded to one sublane tile
 
 
 def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
+                 g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
+                 robust: RobustLoss | None, nanifoutside: bool, delta: int,
+                 nk: int):
+    # lam is a scalar-prefetch [B] array (SMEM); pick this pair's entry.
+    lam = lam_ref[pl.program_id(0)]
+    _iter_common(lam, gx_ref, gy_ref, ResidentImage(img_ref), i1_ref,
+                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, height=height,
+                 width=width, chans=chans, inv_l=inv_l, robust=robust,
+                 nanifoutside=nanifoutside, delta=delta, nk=nk)
+
+
+def _iter_kernel_stream(ys_ref, lam_ref, gx_ref, gy_ref, img_ref, i1_ref,
+                        ix_ref, iy_ref, g3_ref, m_ref, iw_ref, win_ref,
+                        wsem_ref, gband_ref, gsem_ref, *, height, width,
+                        chans, inv_l, robust: RobustLoss | None,
+                        nanifoutside: bool, delta: int, nk: int, wh: int):
+    img = _stream_prologue(ys_ref, img_ref, win_ref, wsem_ref, wh)
+    img.gband = gband_ref
+    img.gsem = gsem_ref
+    lam = lam_ref[pl.program_id(0)]
+    _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
+                 g3_ref, m_ref, iw_ref, height=height, width=width,
+                 chans=chans, inv_l=inv_l, robust=robust,
+                 nanifoutside=nanifoutside, delta=delta, nk=nk)
+
+
+def _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
                  g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
                  robust: RobustLoss | None, nanifoutside: bool, delta: int,
                  nk: int):
@@ -72,7 +105,7 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
     def write_row(cc, r, vals):
         iw_ref[cc, r, :] = vals[0]
 
-    warp_tile(gx, gy, img_ref, write_row,
+    warp_tile(gx, gy, img, write_row,
               height=height, width=width, chans=chans)
 
     # ---- tile-wide epilogue: residual, weight, channel-reduced moments ----
@@ -95,7 +128,7 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
             t2 = t2 + dic * dic
 
     if robust is not None:
-        rho = rhop(t2, lam_ref[0, 0], robust)
+        rho = rhop(t2, lam, robust)
         maps = [rho * g3_ref[0, k] for k in range(3)] + [rho * u, rho * v]
     else:
         maps = [u, v]
@@ -141,11 +174,13 @@ def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "height", "width", "robust", "nanifoutside", "delta", "interpret"))
+    "height", "width", "robust", "nanifoutside", "delta", "interpret",
+    "stream"))
 def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
                        height: int, width: int,
                        robust: RobustLoss | None, nanifoutside: bool,
-                       delta: int, interpret: bool = False):
+                       delta: int, interpret: bool = False,
+                       stream: bool = False):
     """[B, K, 8, 8] weighted coordinate moments of one IC iteration.
 
     Args:
@@ -159,6 +194,12 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
       lam: [B] (or scalar, broadcast) per-pair runtime robust threshold
         (ignored when robust is None).
       robust: RobustLoss, or None for the quadratic path.
+      stream: large-frame mode — the planar moving image stays in HBM and
+        per-(pair, row band) windows of `stream_window_rows` rows are
+        DMA'd into a double-buffered VMEM scratch one band ahead of
+        compute (tile_warp.WindowedImage); tiles whose taps escape the
+        window take the exact general path with direct HBM band DMAs.
+        Numerically identical to the resident mode.
 
     Returns:
       m [B, K, 8, 8], K = 5 (w*gxx, w*gxy, w*gyy, w*u, w*v) or 2 (u, v);
@@ -175,38 +216,88 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
     if robust is None:
         g3p = i2p[:, :1]     # 1-plane dummy, never read by the kernel
     ng3 = g3p.shape[1]
-    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (b,)).reshape(b, 1)
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (b,))
     grid = (b, hp // TR, wg // TW)
-    kernel = functools.partial(
-        _iter_kernel, height=height, width=width, chans=c,
-        inv_l=1.0 / float(max(height, width)), robust=robust,
-        nanifoutside=nanifoutside, delta=delta, nk=nk)
-    tile = lambda bb, ty, tx: (bb, ty, tx)
-    return pl.pallas_call(
-        kernel,
+    out_shape = jax.ShapeDtypeStruct((b, nk, 8, 8), jnp.float32)
+    tile = lambda bb, ty, tx, *_: (bb, ty, tx)
+    kw = dict(height=height, width=width, chans=c,
+              inv_l=1.0 / float(max(height, width)), robust=robust,
+              nanifoutside=nanifoutside, delta=delta, nk=nk)
+
+    if not stream:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,    # lam [B]
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, hp8, wp),
+                             lambda bb, ty, tx, *_: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, TR, TW),
+                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, TR, TW),
+                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c, TR, TW),
+                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ng3, TR, TW),
+                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nk, 8, 8),
+                                   lambda bb, ty, tx, *_: (bb, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((c, TR, TW), jnp.float32)],
+        )
+        kernel = functools.partial(_iter_kernel, **kw)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
+
+    # ---- streaming (large-frame) mode ----
+    wh = stream_window_rows(height)
+    ys = band_starts(gy, hp8, wh)
+    kernel = functools.partial(_iter_kernel_stream, wh=wh, **kw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,    # ys [B*nty+1], lam [B]
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bb, ty, tx: (bb, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hp8, wp), lambda bb, ty, tx: (bb, 0, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),     # moving image in HBM
+            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ng3, TR, TW), lambda bb, ty, tx: (bb, 0, ty, tx),
+            pl.BlockSpec((1, ng3, TR, TW),
+                         lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nk, 8, 8), lambda bb, ty, tx: (bb, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, nk, 8, 8),
+                               lambda bb, ty, tx, *_: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nk, 8, 8), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c, TR, TW), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((c, TR, TW), jnp.float32),       # warped tile
+            pltpu.VMEM((2, c, wh, wp), jnp.float32),    # band window x2
+            pltpu.SemaphoreType.DMA((2,)),              # window DMA sems
+            pltpu.VMEM((c, HB, TW), jnp.float32),       # general-path band
+            pltpu.SemaphoreType.DMA(()),                # general-path sem
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
+    )(ys, lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
 
 
 @dataclass(frozen=True)
@@ -219,19 +310,24 @@ class FusedIterPlan:
     ixp: Any
     iyp: Any
     g3p: Any
+    stream: bool = False   # large-frame HBM-streaming mode (see plan_warp_mode)
 
 
 def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
                     robust: bool = True) -> FusedIterPlan | None:
     """Build the plan, or None when the shape/dtype is unsupported.
 
-    VMEM budget mirrors plan_fast_warp (the resident planar moving image
-    dominates); the per-tile operand blocks are negligible. When robust is
-    False the (gxx, gxy, gyy) planes are not packed (the quadratic kernel
-    never reads them).
+    Frames whose double-buffered planar plane fits the VMEM budget use the
+    resident mode (plan_warp_mode == "resident"); larger frames — 720p,
+    1080p, 4K — keep the moving image in HBM and stream row-band windows
+    ("stream"). When robust is False the (gxx, gxy, gyy) planes are not
+    packed (the quadratic kernel never reads them).
     """
+    from .warp import plan_warp_mode
+
     b, h, w, c = i1.shape
-    if not plan_fast_warp(h, w, c, i1.dtype):
+    mode = plan_warp_mode(h, w, c, i1.dtype)
+    if mode is None:
         return None
     return FusedIterPlan(
         i2p=pad_planar(i2),
@@ -240,4 +336,5 @@ def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
         iyp=pad_planar(iy),
         g3p=(pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1))
              if robust else None),
+        stream=(mode == "stream"),
     )

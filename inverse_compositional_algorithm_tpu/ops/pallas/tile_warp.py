@@ -43,16 +43,91 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..warp import keys_cubic_weights
 
 __all__ = ["TR", "TW", "HB", "HB_FAST", "keys_eval", "warp_tile",
-           "padded_height"]
+           "padded_height", "ResidentImage", "WindowedImage"]
 
 TR = 8        # output rows per tile (one vreg of sublanes)
 TW = 128      # output cols per tile (lane dim)
 HB = 32       # general-path band height (multiple of 8)
 HB_FAST = 24  # fast-path band height (multiple of 8)
+
+
+class ResidentImage:
+    """Band access over a planar image fully resident in VMEM.
+
+    The round-3 layout: BlockSpec keeps the whole [1, C, Hp, Wp] moving
+    image in VMEM for the batch slice, so bands are plain slices. Only
+    viable while the double-buffered plane fits the VMEM budget
+    (ops/pallas/warp.py::plan_fast_warp)."""
+
+    def __init__(self, ref):
+        self.ref = ref                       # [1, C, Hp8, Wp]
+
+    @property
+    def hp8(self):
+        return self.ref.shape[2]
+
+    def fast_cover(self, ym, hbf):
+        return True                          # whole image is addressable
+
+    def fast_band(self, ym, hbf, off, chans):
+        return self.ref[0, :, pl.ds(ym, hbf), pl.ds(off, TW)].reshape(
+            chans * hbf, TW)
+
+    def general_band(self, base, hb, off, chans):
+        return self.ref[0, :, pl.ds(base, hb), pl.ds(off, TW)].reshape(
+            chans * hb, TW)
+
+
+class WindowedImage:
+    """Band access over an HBM-resident planar image through a prefetched
+    VMEM row-band window (the large-frame streaming mode).
+
+    The caller DMAs rows [ystart, ystart + wh) of the current pair into
+    `win[slot]` ahead of compute (double-buffered across the grid); the
+    fast path reads bands out of that window (fast_cover gates it), while
+    the general path fetches its segment bands straight from HBM with a
+    small synchronous DMA — exact for arbitrary motion, just slower, and
+    rare by construction (the window is sized for the steady-state warp).
+    """
+
+    def __init__(self, win, slot, ystart, wh, img, b_idx, gband, gsem):
+        self.win = win          # VMEM scratch [2, C, wh, Wp]
+        self.slot = slot        # traced scalar in {0, 1}
+        self.ystart = ystart    # traced scalar, 8-aligned window origin row
+        self.wh = wh            # static window rows
+        self.img = img          # ANY/HBM ref [B, C, Hp8, Wp]
+        self.b_idx = b_idx      # traced scalar batch index
+        self.gband = gband      # VMEM scratch [C, HB, TW]
+        self.gsem = gsem        # DMA semaphore for gband
+
+    @property
+    def hp8(self):
+        return self.img.shape[2]
+
+    def fast_cover(self, ym, hbf):
+        rel = ym - self.ystart
+        return (rel >= 0) & (rel + hbf <= self.wh)
+
+    def fast_band(self, ym, hbf, off, chans):
+        # ym and ystart are both 8-aligned; tell Mosaic the difference is.
+        rel = pl.multiple_of(ym - self.ystart, 8)
+        return self.win[self.slot, :, pl.ds(rel, hbf), pl.ds(off, TW)].reshape(
+            chans * hbf, TW)
+
+    def general_band(self, base, hb, off, chans):
+        cp = pltpu.make_async_copy(
+            self.img.at[self.b_idx, :, pl.ds(base, hb), pl.ds(off, TW)],
+            self.gband.at[:, pl.ds(0, hb), :],
+            self.gsem,
+        )
+        cp.start()
+        cp.wait()
+        return self.gband[:, pl.ds(0, hb), :].reshape(chans * hb, TW)
 
 
 def padded_height(height: int) -> int:
@@ -77,20 +152,20 @@ def keys_eval(t):
     return jnp.where(a <= 1.0, near, jnp.where(a < 2.0, far, 0.0))
 
 
-def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
+def warp_tile(gx, gy, img, write_row, *, height, width, chans):
     """Bicubic-warp one 8x128 tile of a planar image.
 
     Args:
       gx, gy: [TR, TW] f32 source coordinates of the tile's pixels
         (edge-padded to full tiles by the caller, so every value is sane).
-      img_ref: ref [1, C, Hp, Wp] planar padded source (resident in VMEM),
-        Hp = padded_height(height), Wp a multiple of TW.
+      img: a `ResidentImage` (whole plane in VMEM) or `WindowedImage`
+        (HBM plane + prefetched VMEM row-band window) band-access adapter.
       write_row: callback (channel, row, values[1, TW]) storing one output
         row — lets each kernel direct output to its own ref layout.
       height, width: true image dims (tap clipping bounds).
     """
     f32 = jnp.float32
-    hp8 = img_ref.shape[2]
+    hp8 = img.hp8
     # Bands never exceed the (padded) image height — short images just use
     # the whole image as the band.
     hb = min(HB, hp8)
@@ -105,11 +180,13 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
     ymax = jnp.max(y0)
     x0mn = jnp.min(x0, axis=0, keepdims=True)          # [1, TW]
 
-    # Fast-path preconditions (see module docstring).
+    # Fast-path preconditions (see module docstring). Streaming adapters
+    # additionally require the band to sit inside the prefetched window.
     ymf = (jnp.clip(ymin - 1, 0, hp8 - hbf) // 8) * 8
     fast = ((jnp.max(x0 - x0mn) <= 1)
             & (ymax + 2 - ymf <= hbf - 1)
-            & (ymin >= -2))
+            & (ymin >= -2)
+            & img.fast_cover(ymf, hbf))
 
     chf = chans * hbf
     ch = chans * hb
@@ -124,8 +201,7 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
 
         def chunk_body(c, gs, cxs=cxs):
             off = pl.multiple_of(c * TW, TW)
-            band = img_ref[0, :, pl.ds(ym, hbf), pl.ds(off, TW)]
-            band = band.reshape(chf, TW)
+            band = img.fast_band(ym, hbf, off, chans)
             out = []
             for j in range(5):
                 loc = cxs[j] - c * TW
@@ -206,8 +282,7 @@ def warp_tile(gx, gy, img_ref, write_row, *, height, width, chans):
 
                 def chunk_body(c, e, base=base):
                     off = pl.multiple_of(c * TW, TW)
-                    band = img_ref[0, :, pl.ds(base, hb), pl.ds(off, TW)]
-                    band = band.reshape(ch, TW)
+                    band = img.general_band(base, hb, off, chans)
                     for i in range(4):
                         loc = gtx[i] - c * TW
                         inb = (loc >= 0) & (loc < TW)

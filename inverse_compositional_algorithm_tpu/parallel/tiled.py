@@ -69,7 +69,7 @@ from ..ops.transforms import (
 from ..ops.warp import bicubic_sample, domain_mask
 from .mesh import PAIRS_AXIS, TILE_AXIS, Mesh
 
-__all__ = ["tiled_ic_solve"]
+__all__ = ["tiled_ic_solve", "tiled_pyramidal_solve"]
 
 
 def _halo_gradients(i1_loc, nt: int, y0, height: int, delta: int,
@@ -129,25 +129,41 @@ def _build_tiled_fn(
     hessian_chunk: int,
     shape: tuple,
     dtype_name: str,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Build + jit the shard_map program for one static configuration.
 
     Cached on every static argument (jit keys on function identity, so a
     fresh closure per call would retrace/recompile each solve — these
     programs can take minutes to compile on TPU)."""
+    from ..models.ic import effective_delta
+
     bsz, hh, ww, _ = shape
     dt = jnp.dtype(dtype_name)
     nt = mesh.shape[TILE_AXIS]
     h_loc = hh // nt
+    delta = effective_delta(delta, hh, ww)   # same cap as models.ic
     is_robust = robust is not RobustLoss.QUADRATIC
     scale = param_preconditioner(ttype, hh, ww) if precondition else None
     live = np.zeros(cts.NPARAMS_MAX, np.float32)
     live[: nparams(ttype)] = 1.0
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
+    # Pallas tile-warp inside shard_map: each device warps only its local
+    # output rows (gx/gy carry the global y_offset) while sampling the
+    # replicated full moving image — the kernel signature already separates
+    # output-grid dims from source clip bounds (ops/pallas/warp.py).
+    pallas_mode = None
+    if use_pallas:
+        from ..ops.pallas.warp import pad_planar, plan_warp_mode
+
+        pallas_mode = plan_warp_mode(hh, ww, shape[3], jnp.dtype(dtype_name))
+
     def shard_fn(i1_loc, i2_full, p0_loc):
         y0 = lax.axis_index(TILE_AXIS) * h_loc
         b_loc = i1_loc.shape[0]
+        i2p = pad_planar(i2_full) if pallas_mode else None
 
         ix, iy = _halo_gradients(i1_loc, nt, y0, hh, delta, nanifoutside)
         gxx, gxy, gyy = grad_moments(ix, iy)
@@ -162,7 +178,14 @@ def _build_tiled_fn(
 
         def body(s):
             gx, gy = transform_grid(s.p, ttype, h_loc, ww, y_offset=y0)
-            iw = bicubic_sample(i2_full, gx, gy)
+            if pallas_mode:
+                from ..ops.pallas.warp import pallas_warp_planar
+
+                iw = pallas_warp_planar(
+                    i2p, gx, gy, hh, ww, interpret=interpret,
+                    stream=(pallas_mode == "stream")).transpose(0, 2, 3, 1)
+            else:
+                iw = bicubic_sample(i2_full, gx, gy)
             valid = domain_mask(gx, gy, hh, ww, delta)
             di = _masked_residual(iw, valid, i1_loc, nanifoutside)
 
@@ -192,8 +215,13 @@ def _build_tiled_fn(
                            niters=niters, active=still, diverged=s.diverged)
 
         # Variance-checked shard_map: per-pair carries start with the
-        # pairs-varying type the loop body produces.
-        vary = lambda x: jax.lax.pcast(x, PAIRS_AXIS, to="varying")
+        # pairs-varying type the loop body produces. (With use_pallas the
+        # program runs check_vma=False — pallas_call outputs carry no vma
+        # type — so pcast degenerates to identity there.)
+        if pallas_mode:
+            vary = lambda x: x
+        else:
+            vary = lambda x: jax.lax.pcast(x, PAIRS_AXIS, to="varying")
         init = ICState(
             p=pad_params(jnp.asarray(p0_loc, dt)),
             error=vary(jnp.full((b_loc,), 1e10, dt)),
@@ -221,7 +249,7 @@ def _build_tiled_fn(
         mesh=mesh,
         in_specs=(P(PAIRS_AXIS, TILE_AXIS), P(PAIRS_AXIS), pp),
         out_specs=state_specs,
-        check_vma=True,
+        check_vma=not pallas_mode,
     )
     return jax.jit(fn)
 
@@ -241,6 +269,8 @@ def tiled_ic_solve(
     delta: int = 10,
     precondition: bool = True,
     hessian_chunk: int = 16384,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Single-scale IC/IRLS solve, row-tiled over mesh axis "tile" and
     batch-sharded over "pairs". Numerically equivalent to models.ic.ic_solve
@@ -250,6 +280,9 @@ def tiled_ic_solve(
     Args:
       i1, i2: [B, H, W, C]; B divisible by the pairs axis, H by the tile
         axis. p0: [B, 8].
+      use_pallas: warp each device's local row shard with the Pallas tile
+        kernel (Mosaic under shard_map) instead of the XLA gather sampler;
+        interpret runs that kernel in the Pallas interpreter (CPU lanes).
 
     Returns:
       ICState (p/error/niters sharded over pairs; it/lam are replicated
@@ -266,5 +299,77 @@ def tiled_ic_solve(
     fn = _build_tiled_fn(ttype, mesh, float(tol), int(max_iter), robust,
                          float(lam), bool(nanifoutside), int(delta),
                          bool(precondition), int(hessian_chunk),
-                         tuple(i1.shape), jnp.dtype(dt).name)
+                         tuple(i1.shape), jnp.dtype(dt).name,
+                         bool(use_pallas), bool(interpret))
     return fn(i1, i2, pad_params(jnp.asarray(p0, dt)))
+
+
+def tiled_pyramidal_solve(
+    i1,
+    i2,
+    p0,
+    ttype: TransformType,
+    *,
+    mesh: Mesh,
+    nscales: int = 5,
+    nu: float = 0.5,
+    tol: float = 1e-3,
+    max_iter: int = cts.MAX_ITER,
+    robust: RobustLoss = RobustLoss.QUADRATIC,
+    lam: float = 0.0,
+    nanifoutside: bool = True,
+    delta: int = 10,
+    pyramid_method: str = "ipol",
+    precondition: bool = True,
+    hessian_chunk: int = 16384,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Coarse-to-fine pyramid over the explicitly-tiled SP solver.
+
+    Semantics of models.pyramidal.pyramidal_solve, with each level solved
+    by `tiled_ic_solve` when its height divides the tile axis — the big,
+    expensive levels, which is where spatial sharding pays — and by the
+    single-device-semantics `models.ic.ic_solve` otherwise (tiny coarse
+    levels whose odd heights don't split; their cost is negligible and
+    XLA's SPMD partitioner still shards them over pairs). Parameters are
+    rescaled between levels exactly like the reference driver
+    (src/inverse_compositional_algorithm.py:340-372).
+
+    Returns (state, per_scale) like pyramidal_solve.
+    """
+    from ..models.ic import ic_solve
+    from ..ops.pyramid import build_pyramid, pyramid_shapes
+    from ..ops.transforms import zoom_in_params
+
+    _, hh, ww, _ = i1.shape
+    nt = mesh.shape[TILE_AXIS]
+    shapes = pyramid_shapes(hh, ww, nscales, nu)
+    pyr1 = build_pyramid(i1, nscales, nu, pyramid_method)
+    pyr2 = build_pyramid(i2, nscales, nu, pyramid_method)
+
+    p = pad_params(jnp.asarray(p0, i1.dtype))
+    for s in range(1, nscales):
+        (fh, fw), (ch, cw) = shapes[s - 1], shapes[s]
+        p = zoom_in_params(p, ttype, fw, fh, cw, ch)
+
+    per_scale = []
+    state = None
+    kw = dict(tol=tol, max_iter=max_iter, robust=robust, lam=lam,
+              nanifoutside=nanifoutside, delta=delta,
+              precondition=precondition, hessian_chunk=hessian_chunk)
+    for s in range(nscales - 1, -1, -1):
+        lh = shapes[s][0]
+        if lh % nt == 0:
+            state = tiled_ic_solve(pyr1[s], pyr2[s], p, ttype, mesh=mesh,
+                                   use_pallas=use_pallas,
+                                   interpret=interpret, **kw)
+        else:
+            state = ic_solve(pyr1[s], pyr2[s], p, ttype,
+                             use_pallas=use_pallas, interpret=interpret,
+                             **kw)
+        per_scale.append(state)
+        if s > 0:
+            (fh, fw), (ch, cw) = shapes[s - 1], shapes[s]
+            p = zoom_in_params(state.p, ttype, cw, ch, fw, fh)
+    return state, per_scale
