@@ -62,6 +62,7 @@ def cmd_align(args) -> int:
         "p": [float(v) for v in p],
         "error": float(res.error),
         "iterations": int(res.niters),
+        "diverged": bool(res.diverged),
         "seconds": elapsed,
     }
     text = json.dumps(out, indent=2)

@@ -173,8 +173,56 @@ def profile_stages(batch: int = 16, height: int = 388, width: int = 584,
     return results
 
 
+def profile_large_frame(batch: int = 4, height: int = 720,
+                        width: int = 1280) -> dict:
+    """Stage times for the 720p streaming mode (plan_warp_mode=="stream"):
+    the streaming fused kernel and streaming standalone warp, plus the
+    resident kernel at a half-size shape for a per-pixel comparison."""
+    from ..ops.pallas.warp import plan_warp_mode
+
+    eps = 1e-12
+    ttype = TransformType.HOMOGRAPHY
+    mode = plan_warp_mode(height, width, 3, jnp.float32)
+    print(f"plan_warp_mode({height}x{width}) = {mode}")
+    i1, i2, p_gt = make_bench_batch(batch, height, width, ttype)
+    p0 = pad_params(jnp.asarray(p_gt))
+    gx, gy = transform_grid(p0, ttype, height, width)
+    ix, iy = central_gradients(i1)
+    band = boundary_band_mask(height, width, 10).astype(jnp.float32)
+    ix = ix * band[None, :, :, None]
+    iy = iy * band[None, :, :, None]
+    gxx, gxy, gyy = grad_moments(ix, iy)
+    plan = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=True)
+    lam = jnp.float32(5.0)
+    results: dict[str, float] = {}
+
+    def add(name, fn, args, **kw):
+        ms = timed_scan(fn, args, **kw)
+        results[name] = ms
+        print(f"{name:46s} {ms:9.3f} ms", flush=True)
+
+    add(f"fused_iter_moments stream ({width}x{height})",
+        lambda acc, gx, gy: acc + fused_iter_moments(
+            plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+            gx + acc * eps, gy, lam, height=height, width=width,
+            robust=RobustLoss.CHARBONNIER, nanifoutside=True, delta=10,
+            stream=plan.stream).sum(),
+        (gx, gy))
+    add(f"pallas_warp_planar stream ({width}x{height})",
+        lambda acc, ip, gx, gy: acc + pallas_warp_planar(
+            ip, gx + acc * eps, gy, height, width,
+            stream=plan.stream)[0, 0, 0, 0],
+        (plan.i2p, gx, gy))
+    return results
+
+
 if __name__ == "__main__":
+    import sys
+
     from ..utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
-    profile_stages()
+    if "--large" in sys.argv:
+        profile_large_frame()
+    else:
+        profile_stages()

@@ -14,10 +14,13 @@ Here one kernel reads each input plane exactly once and writes only the
 [B, K, 8, 8] coordinate-moment matrices (K = 5 robust / 2 quadratic); no
 per-pixel intermediate ever touches HBM. Per 8x128 output tile:
 
-  1. banded bicubic warp of the VMEM-resident planar moving image into a
-     VMEM scratch tile (the shared tile core, ops/pallas/tile_warp.py:
-     fast shared-gather path for smooth warps, per-row banded general
-     path otherwise);
+  1. banded bicubic warp of the planar moving image into a VMEM scratch
+     tile (the shared tile core, ops/pallas/tile_warp.py: fast
+     shared-gather path for smooth warps, per-row banded general path
+     otherwise). Small frames keep the whole plane resident in VMEM;
+     large frames (stream=True) keep it in HBM and read through a
+     double-buffered row-band window prefetched one output band ahead
+     (tile_warp.WindowedImage);
   2. tile-wide epilogue: masked residual DI, robust weight rho'(sum_c
      DI^2), channel-reduced moments u = sum_c Ix*DI, v = sum_c Iy*DI
      (semantics of models/ic._masked_residual +
@@ -50,7 +53,6 @@ from .warp import (
     _stream_prologue,
     band_starts,
     pad_planar,
-    plan_fast_warp,
     stream_window_rows,
 )
 

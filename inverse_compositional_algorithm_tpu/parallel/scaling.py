@@ -43,9 +43,9 @@ def force_cpu_fake_devices(n: int = 8) -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
-def measure_weak_scaling(device_counts=(1, 2, 4, 8), pairs_per_device=2,
+def measure_weak_scaling(device_counts=(1, 2, 4, 8), pairs_per_device=4,
                          height=96, width=128, nscales=2,
-                         repeats=3) -> dict:
+                         repeats=10) -> dict:
     import jax
     import jax.numpy as jnp
 
