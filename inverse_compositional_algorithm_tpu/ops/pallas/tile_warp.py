@@ -71,6 +71,10 @@ class ResidentImage:
     def hp8(self):
         return self.ref.shape[2]
 
+    @property
+    def wp(self):
+        return self.ref.shape[3]
+
     def fast_cover(self, ym, hbf):
         return True                          # whole image is addressable
 
@@ -108,6 +112,10 @@ class WindowedImage:
     @property
     def hp8(self):
         return self.img.shape[2]
+
+    @property
+    def wp(self):
+        return self.img.shape[3]
 
     def fast_cover(self, ym, hbf):
         rel = ym - self.ystart
@@ -181,11 +189,16 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
     x0mn = jnp.min(x0, axis=0, keepdims=True)          # [1, TW]
 
     # Fast-path preconditions (see module docstring). Streaming adapters
-    # additionally require the band to sit inside the prefetched window.
+    # additionally require the band to sit inside the prefetched window;
+    # the statically-unrolled chunk pass covers an x-tap span of at most
+    # 3 column chunks (|dgx/dx| up to ~2.9 — every non-degenerate warp).
     ymf = (jnp.clip(ymin - 1, 0, hp8 - hbf) // 8) * 8
+    xtap_lo = jnp.clip(jnp.min(x0) - 1, 0, width - 1)
+    xtap_hi = jnp.clip(jnp.max(x0) + 2, 0, width - 1)
     fast = ((jnp.max(x0 - x0mn) <= 1)
             & (ymax + 2 - ymf <= hbf - 1)
             & (ymin >= -2)
+            & (xtap_hi // TW - xtap_lo // TW <= 2)
             & img.fast_cover(ymf, hbf))
 
     chf = chans * hbf
@@ -194,13 +207,17 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
     @pl.when(fast)
     def _fast():
         ym = pl.multiple_of(ymf, 8)
-        # Five shared tap-column gathers for the whole tile.
+        # Five shared tap-column gathers for the whole tile, over a
+        # STATICALLY-unrolled 3-chunk pass (a dynamic-trip fori_loop
+        # defeats Mosaic's scheduling): chunk k reads at min(cs+k, last)
+        # — out-of-span tap columns are masked off by `inb`, so the
+        # clamped duplicate read contributes nothing.
         cxs = [jnp.clip(x0mn + j, 0, width - 1) for j in range(-1, 4)]
         cs = jnp.min(cxs[0]) // TW
-        ce = jnp.max(cxs[4]) // TW + 1
+        nch = img.wp // TW
 
-        def chunk_body(c, gs, cxs=cxs):
-            off = pl.multiple_of(c * TW, TW)
+        def chunk_at(c, gs, cxs=cxs):
+            off = pl.multiple_of(jnp.minimum(c, nch - 1) * TW, TW)
             band = img.fast_band(ym, hbf, off, chans)
             out = []
             for j in range(5):
@@ -212,9 +229,9 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
                 out.append(gs[j] + jnp.where(inb, t, 0.0))
             return tuple(out)
 
-        gs = jax.lax.fori_loop(
-            cs, ce, chunk_body,
-            tuple(jnp.zeros((chf, TW), f32) for _ in range(5)))
+        gs = tuple(jnp.zeros((chf, TW), f32) for _ in range(5))
+        for k in range(3):
+            gs = chunk_at(cs + k, gs)
 
         xm = x0mn.astype(f32)
         ymf32 = ym.astype(f32)
