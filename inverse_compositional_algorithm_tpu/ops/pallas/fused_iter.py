@@ -263,7 +263,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         )(lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
 
     # ---- streaming (large-frame) mode ----
-    wh = stream_window_rows(height)
+    wh = stream_window_rows(height, width, c)
     ys = band_starts(gy, hp8, wh)
     kernel = functools.partial(_iter_kernel_stream, wh=wh, **kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -54,9 +54,18 @@ STREAM_WINDOW_ROWS = 48
 _RESIDENT_BUDGET = 12 * 1024 * 1024
 
 
-def stream_window_rows(height: int) -> int:
-    """Window rows for a streamed image of this (padded) height."""
-    return min(STREAM_WINDOW_ROWS, padded_height(height))
+def stream_window_rows(height: int, width: int = 0, chans: int = 3) -> int:
+    """Window rows for a streamed image of this (padded) height.
+
+    Ultra-wide frames (8K+) shrink the window so the double-buffered
+    [2, C, wh, Wp] scratch stays within ~6 MB of VMEM; 32 rows still
+    leaves 12+ rows of cross-row y-wander for the fast path."""
+    wh = STREAM_WINDOW_ROWS
+    if width:
+        wp = -(-width // TW) * TW
+        while wh > 32 and 2 * chans * wh * wp * 4 > 6 * 1024 * 1024:
+            wh -= 8
+    return min(wh, padded_height(height))
 
 
 def _warp_kernel(gx_ref, gy_ref, img_ref, out_ref, *, height, width, chans):
@@ -199,7 +208,7 @@ def pallas_warp_planar(img_p, gx, gy, height: int, width: int,
         )(gx, gy, img_p)
         return out[:, :, :h_out, :w_out]
 
-    wh = stream_window_rows(height)
+    wh = stream_window_rows(height, width, c)
     ys = band_starts(gy, hp8, wh)
     kernel = functools.partial(_warp_kernel_stream, height=height,
                                width=width, chans=c, wh=wh)
@@ -251,9 +260,9 @@ def plan_warp_mode(height: int, width: int, chans: int, dtype) -> str | None:
     hp = padded_height(height)
     if 2 * chans * hp * wp * 4 <= _RESIDENT_BUDGET:
         return "resident"
-    wh = stream_window_rows(height)
+    wh = stream_window_rows(height, width, chans)
     # double-buffered window + general-path band must fit comfortably
-    if 2 * chans * wh * wp * 4 > 6 * 1024 * 1024:
+    if 2 * chans * wh * wp * 4 > 8 * 1024 * 1024:
         return None
     return "stream"
 
