@@ -161,3 +161,34 @@ def test_guard_does_not_perturb_healthy_runs(nscales):
     r_off = align(i1, img, cfg_off)
     np.testing.assert_array_equal(np.asarray(r_on.p), np.asarray(r_off.p))
     assert int(r_on.niters[0]) == int(r_off.niters[0])
+
+
+def test_hard_motions_converge_without_false_freezes():
+    """Bench-style hard mixed motions (scaled to a small frame) must all
+    genuinely converge — the guard's speedup may not come from freezing
+    recoverable pairs (round-4 honesty audit, see TPU_VALIDATION_r04)."""
+    from inverse_compositional_algorithm_tpu.ops.warp import bicubic_sample
+
+    h, w, b = 96, 144, 4
+    img = _smooth(h, w, seed=11, b=1)
+    rng = np.random.default_rng(5)
+    l = max(h, w)
+    # the bench's hard-motion magnitudes, expressed RELATIVE to the frame:
+    # linear part +-0.06 (35/584), translation ~2.5% of the frame size
+    p = np.zeros((b, 8), np.float32)
+    p[:, [0, 1, 3, 4]] = rng.uniform(-0.06, 0.06, (b, 4))
+    p[:, 2] = rng.uniform(-0.025 * l, 0.025 * l, b)
+    p[:, 5] = rng.uniform(-0.025 * l, 0.025 * l, b)
+    p[:, 6:8] = rng.uniform(-2.0 / (l * l), 2.0 / (l * l), (b, 2))
+    gt = pad_params(jnp.asarray(p), TransformType.HOMOGRAPHY)
+    gx, gy = transform_grid(gt, TransformType.HOMOGRAPHY, h, w)
+    i2 = jnp.broadcast_to(img, (b, h, w, 3))
+    i1 = bicubic_sample(i2, gx, gy)
+
+    cfg = AlignConfig(transform=TransformType.HOMOGRAPHY, nscales=4,
+                      robust=RobustLoss.CHARBONNIER, use_pallas=False)
+    res = align(i1, i2, cfg)
+    assert not np.asarray(res.diverged).any(), "guard must not fire here"
+    err = np.abs(np.asarray(res.p) - p).max()
+    assert err < 5e-3, f"hard motions failed to converge: max err {err}"
+    assert (np.asarray(res.error) <= cfg.tol).all()
