@@ -10,8 +10,10 @@ ops/pallas/tile_warp.py (shared with the fused iteration kernel).
 
 Layout: the source image is planar [B, C, Hp, Wp] (channel-major, rows in
 sublanes, columns in lanes; pad_planar pads rows by 2 duplicated edge rows
-to a sublane multiple and columns to the 128-lane tile), resident in VMEM
-for the whole batch slice of the grid.
+to a sublane multiple and columns to the 128-lane tile). Small frames keep
+the plane resident in VMEM for the whole batch slice of the grid; frames
+above the VMEM budget stream through double-buffered row-band windows
+prefetched one output band ahead (stream=True, plan_warp_mode).
 
 Tap clipping matches `bicubic_sample` (Neumann boundary, reference
 src/bicubic_interpolation.py:8-23) so results agree with the XLA path up
