@@ -40,6 +40,10 @@ def main(argv=None) -> dict:
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--no-distributed", action="store_true",
                     help="skip jax.distributed (single-host / fake devices)")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) — needed where a "
+                         "site config pins a TPU plugin that overrides "
+                         "JAX_PLATFORMS (config.update wins)")
     ap.add_argument("--batch-per-host", type=int, default=64)
     ap.add_argument("--height", type=int, default=388)
     ap.add_argument("--width", type=int, default=584)
@@ -61,7 +65,16 @@ def main(argv=None) -> dict:
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if not args.no_distributed:
+        # Multi-process CPU backends only federate with an explicit
+        # cross-process collectives implementation (TPU backends ignore
+        # this; their collectives ride ICI/DCN natively).
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         from .sharded import init_distributed
 
         kw = {}
@@ -87,9 +100,14 @@ def main(argv=None) -> dict:
                       nscales=args.nscales)
 
     pairs = ndev // args.tile
-    b_global = args.batch_per_host * nproc
-    b_global = -(-b_global // pairs) * pairs   # round up to the pairs axis
-    i1, i2, _ = make_bench_batch(b_global, args.height, args.width,
+    # Each host builds only ITS shard of the pair batch (different content
+    # per host — that's the point of scale-out); align_sharded assembles
+    # the global array from the per-process shards. Round the per-host
+    # batch so the global batch divides the pairs axis equally per host.
+    pairs_local = max(1, pairs // nproc)
+    b_local = -(-args.batch_per_host // pairs_local) * pairs_local
+    b_global = b_local * nproc
+    i1, i2, _ = make_bench_batch(b_local, args.height, args.width,
                                  cfg.transform, seed=pid)
 
     res = align_sharded(i1, i2, cfg, mesh=mesh, tile_rows=args.tile > 1)
@@ -101,6 +119,9 @@ def main(argv=None) -> dict:
     dt = (time.perf_counter() - t0) / args.repeats
 
     pps = b_global / dt
+    # A multi-process global array can only be read shard-by-shard.
+    err_local = np.concatenate(
+        [np.asarray(s.data) for s in res.error.addressable_shards])
     rec = {
         "hosts": nproc,
         "devices": ndev,
@@ -109,7 +130,7 @@ def main(argv=None) -> dict:
         "pairs_per_sec_global": round(pps, 2),
         "pairs_per_sec_per_device": round(pps / ndev, 2),
         "vs_numpy_baseline": round(pps / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
-        "errors_finite": bool(np.isfinite(np.asarray(res.error)).all()),
+        "errors_finite": bool(np.isfinite(err_local).all()),
     }
     if pid == 0:
         print(json.dumps(rec), flush=True)

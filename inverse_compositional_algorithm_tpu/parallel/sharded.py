@@ -41,11 +41,17 @@ def align_sharded(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
 
     Args:
       i1, i2: [B, H, W, C]; B must divide by the mesh's pairs axis.
+        Single-process: B is the global batch. Multi-process
+        (jax.process_count() > 1): i1/i2/p0 are THIS PROCESS's shard of
+        the batch (each host feeds different pairs; the global batch is
+        B * process_count, assembled with
+        jax.make_array_from_process_local_data).
       mesh: a ("pairs", "tile") mesh (default: all devices on pairs).
       tile_rows: also shard image rows over the tile axis.
 
     Returns:
-      AlignResult with mesh-sharded leaves (use jax.device_get to fetch).
+      AlignResult with mesh-sharded leaves (use jax.device_get to fetch;
+      multi-process callers see their addressable shards).
     """
     config.validate()
     if config.use_pallas and (jax.default_backend() != "tpu"
@@ -63,8 +69,20 @@ def align_sharded(i1, i2, config: AlignConfig = AlignConfig(), p0=None,
 
     img_s = image_sharding(mesh, tile_rows=tile_rows)
     vec_s = pair_sharding(mesh)
-    i1, i2 = jax.device_put(i1, img_s), jax.device_put(i2, img_s)
-    p0 = jax.device_put(p0, vec_s)
+    nproc = jax.process_count()
+    if nproc > 1:
+        import numpy as np
+
+        def glob(x, sh):
+            gshape = (x.shape[0] * nproc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x), gshape)
+
+        i1, i2 = glob(i1, img_s), glob(i2, img_s)
+        p0 = glob(p0, vec_s)
+    else:
+        i1, i2 = jax.device_put(i1, img_s), jax.device_put(i2, img_s)
+        p0 = jax.device_put(p0, vec_s)
 
     fn = jax.jit(
         partial(_align_impl, config=config),
