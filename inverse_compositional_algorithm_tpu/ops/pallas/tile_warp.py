@@ -192,21 +192,36 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
     # additionally require the band to sit inside the prefetched window;
     # the statically-unrolled chunk pass covers an x-tap span of at most
     # 3 column chunks (|dgx/dx| up to ~2.9 — every non-degenerate warp).
-    ymf = (jnp.clip(ymin - 1, 0, hp8 - hbf) // 8) * 8
+    # Two band-height variants share one body: a 16-row band when the
+    # tile's y-taps happen to fit it (~3/4 of smooth-warp tiles, decided
+    # by the 8-alignment of the band origin) — 1/3 less gather + FMA
+    # volume — and the 24-row band for the rest.
     xtap_lo = jnp.clip(jnp.min(x0) - 1, 0, width - 1)
     xtap_hi = jnp.clip(jnp.max(x0) + 2, 0, width - 1)
-    fast = ((jnp.max(x0 - x0mn) <= 1)
-            & (ymax + 2 - ymf <= hbf - 1)
-            & (ymin >= -2)
-            & (xtap_hi // TW - xtap_lo // TW <= 2)
-            & img.fast_cover(ymf, hbf))
+    fast_common = ((jnp.max(x0 - x0mn) <= 1)
+                   & (ymin >= -2)
+                   & (xtap_hi // TW - xtap_lo // TW <= 2))
 
-    chf = chans * hbf
+    def fast_pred(hbf_t):
+        ymf_t = (jnp.clip(ymin - 1, 0, hp8 - hbf_t) // 8) * 8
+        ok = (fast_common
+              & (ymax + 2 - ymf_t <= hbf_t - 1)
+              & img.fast_cover(ymf_t, hbf_t))
+        return ymf_t, ok
+
+    hbf16 = min(16, hp8)
+    ymf16, fast16 = fast_pred(hbf16)
+    ymf, fast24 = fast_pred(hbf)
+    if hbf16 == hbf:
+        fast16 = jnp.zeros_like(fast16)      # degenerate short image
+    fast24 = fast24 & ~fast16
+    fast = fast16 | fast24
+
     ch = chans * hb
 
-    @pl.when(fast)
-    def _fast():
-        ym = pl.multiple_of(ymf, 8)
+    def fast_body(ymf_t, hbf_t):
+        chf = chans * hbf_t
+        ym = pl.multiple_of(ymf_t, 8)
         # Five shared tap-column gathers for the whole tile, over a
         # STATICALLY-unrolled 3-chunk pass (a dynamic-trip fori_loop
         # defeats Mosaic's scheduling): chunk k reads at min(cs+k, last)
@@ -218,7 +233,7 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
 
         def chunk_at(c, gs, cxs=cxs):
             off = pl.multiple_of(jnp.minimum(c, nch - 1) * TW, TW)
-            band = img.fast_band(ym, hbf, off, chans)
+            band = img.fast_band(ym, hbf_t, off, chans)
             out = []
             for j in range(5):
                 loc = cxs[j] - c * TW
@@ -236,7 +251,7 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
         xm = x0mn.astype(f32)
         ymf32 = ym.astype(f32)
         s_col = jax.lax.broadcasted_iota(
-            jnp.int32, (hbf, TW), 0).astype(f32)
+            jnp.int32, (hbf_t, TW), 0).astype(f32)
         for r in range(TR):
             gxr = gx[r : r + 1]
             gyr = gy[r : r + 1]
@@ -246,7 +261,7 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
                 f = f + gs[j] * keys_eval(gxr - (xm + (j - 1.0)))
             # Dense y weights over band rows; fold clipped top taps into
             # row 0 (only possible when the band starts at the image top).
-            wy = keys_eval(gyr - (ymf32 + s_col))          # [hbf, TW]
+            wy = keys_eval(gyr - (ymf32 + s_col))          # [hbf_t, TW]
             # Clipped top taps (rows -1..-3, reachable for gy in [-2, 1))
             # all resolve to row 0 under the Neumann clamp; their weights
             # vanish identically for gy >= 1 so the fold is always safe.
@@ -256,10 +271,18 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
                 + keys_eval(gyr + 3.0),
                 jnp.zeros_like(gyr))
             wy = jnp.concatenate([wy[:1] + extra, wy[1:]], axis=0)
-            prod = f.reshape(chans, hbf, TW) * wy[None]
+            prod = f.reshape(chans, hbf_t, TW) * wy[None]
             vals = jnp.sum(prod, axis=1)                   # [chans, TW]
             for cc in range(chans):
                 write_row(cc, r, vals[cc : cc + 1])
+
+    @pl.when(fast16)
+    def _fast16():
+        fast_body(ymf16, hbf16)
+
+    @pl.when(fast24)
+    def _fast24():
+        fast_body(ymf, hbf)
 
     @pl.when(jnp.logical_not(fast))
     def _general():
