@@ -37,6 +37,10 @@ class AlignConfig:
     nu: float = 0.5                  # downsampling factor
     nanifoutside: bool = True        # out-of-domain pixels excluded (vs 0-valued)
     delta: int = 10                  # boundary margin of the modified algorithm
+    delta_cap: bool = True           # cap delta per pyramid level so small
+    #   coarse levels keep an interior (models.ic.effective_delta); False
+    #   reproduces the reference exactly (it passes delta unchanged to every
+    #   level, src/inverse_compositional_algorithm.py:340-372) for A/B runs
     pyramid_method: str = "ipol"     # "ipol" | "antialias" (see ops.pyramid)
     precondition: bool = True        # Hartley-normalize the Jacobian columns
     hessian_chunk: int = 16384       # pixels per Hessian accumulation step

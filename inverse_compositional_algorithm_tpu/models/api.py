@@ -68,6 +68,7 @@ def _align_impl(i1, i2, p0, config: AlignConfig):
         hessian_chunk=config.hessian_chunk, use_pallas=config.use_pallas,
         interpret=config.interpret, verbose=config.verbose,
         divergence_guard=config.divergence_guard,
+        delta_cap=config.delta_cap,
     )
     warp_mode = None
     if config.use_pallas:

@@ -144,6 +144,7 @@ def ic_solve(
     verbose: bool = False,
     collect_trace: bool = False,
     divergence_guard: bool = True,
+    delta_cap: bool = True,
 ):
     """Estimate p aligning I2 to I1 at a single scale.
 
@@ -173,13 +174,21 @@ def ic_solve(
         their final values for the remaining steps.
 
       divergence_guard: detect catastrophically lost pairs (all corner/
-        center probes outside the 1.5x-inflated frame, or non-finite p),
+        center probes outside the frame inflated by margin=0.5 of its
+        size on each side — a 2x span, see _lost_overlap — or
+        non-finite p),
         revert them to their warm start p0 and stop iterating them, with
         the per-pair `diverged` flag set. The reference has no such guard
         (src/inverse_compositional_algorithm.py:220-259 applies every step
         unconditionally) — one lost pair there both poisons its own result
         AND, in a batched setting, would drag the whole batch through
         max_iter. The guard freezes that pair's lambda annealing too.
+
+      delta_cap: cap the boundary band via `effective_delta` so small
+        coarse levels keep an interior (True, default). False keeps the
+        reference's exact behavior — delta passed unchanged at every size
+        (src/inverse_compositional_algorithm.py:340-372) — so A/B
+        validation against the reference remains reachable.
 
     Returns:
       ICState with final parameters, per-pair error / iteration counts /
@@ -189,7 +198,8 @@ def ic_solve(
     bsz, hh, ww, _ = i1.shape
     dt = i1.dtype
     is_robust = robust is not RobustLoss.QUADRATIC
-    delta = effective_delta(delta, hh, ww)
+    if delta_cap:
+        delta = effective_delta(delta, hh, ww)
 
     ix, iy = central_gradients(i1)
     if nanifoutside and delta > 0:

@@ -53,6 +53,7 @@ def pyramidal_solve(
     verbose: bool = False,
     collect_trace: bool = False,
     divergence_guard: bool = True,
+    delta_cap: bool = True,
 ):
     """Full multi-scale alignment of batched pairs.
 
@@ -91,6 +92,7 @@ def pyramidal_solve(
             precondition=precondition, hessian_chunk=hessian_chunk,
             use_pallas=use_pallas, interpret=interpret, verbose=verbose,
             collect_trace=collect_trace, divergence_guard=divergence_guard,
+            delta_cap=delta_cap,
         )
         if collect_trace:
             state, trace = state

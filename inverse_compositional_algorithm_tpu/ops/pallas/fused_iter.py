@@ -61,37 +61,42 @@ __all__ = ["FusedIterPlan", "plan_fused_iter", "fused_iter_moments"]
 _KPAD = 8   # moment maps padded to one sublane tile
 
 
-def _iter_kernel(lam_ref, gx_ref, gy_ref, img_ref, i1_ref, ix_ref, iy_ref,
-                 g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
-                 robust: RobustLoss | None, nanifoutside: bool, delta: int,
-                 nk: int):
+def _iter_kernel(lam_ref, yoff_ref, gx_ref, gy_ref, img_ref, i1_ref,
+                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, *, height, width,
+                 chans, inv_l, robust: RobustLoss | None,
+                 nanifoutside: bool, delta: int, nk: int, grid_h: int,
+                 ablate: frozenset = frozenset()):
     # lam is a scalar-prefetch [B] array (SMEM); pick this pair's entry.
     lam = lam_ref[pl.program_id(0)]
-    _iter_common(lam, gx_ref, gy_ref, ResidentImage(img_ref), i1_ref,
-                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, height=height,
-                 width=width, chans=chans, inv_l=inv_l, robust=robust,
-                 nanifoutside=nanifoutside, delta=delta, nk=nk)
+    _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, ResidentImage(img_ref),
+                 i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref,
+                 height=height, width=width, chans=chans, inv_l=inv_l,
+                 robust=robust, nanifoutside=nanifoutside, delta=delta,
+                 nk=nk, grid_h=grid_h, ablate=ablate)
 
 
-def _iter_kernel_stream(ys_ref, lam_ref, gx_ref, gy_ref, img_ref, i1_ref,
-                        ix_ref, iy_ref, g3_ref, m_ref, iw_ref, win_ref,
-                        wsem_ref, gband_ref, gsem_ref, *, height, width,
-                        chans, inv_l, robust: RobustLoss | None,
-                        nanifoutside: bool, delta: int, nk: int, wh: int):
+def _iter_kernel_stream(ys_ref, lam_ref, yoff_ref, gx_ref, gy_ref, img_ref,
+                        i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref,
+                        win_ref, wsem_ref, gband_ref, gsem_ref, *, height,
+                        width, chans, inv_l, robust: RobustLoss | None,
+                        nanifoutside: bool, delta: int, nk: int,
+                        grid_h: int, wh: int,
+                        ablate: frozenset = frozenset()):
     img = _stream_prologue(ys_ref, img_ref, win_ref, wsem_ref, wh)
     img.gband = gband_ref
     img.gsem = gsem_ref
     lam = lam_ref[pl.program_id(0)]
-    _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
-                 g3_ref, m_ref, iw_ref, height=height, width=width,
+    _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, img, i1_ref, ix_ref,
+                 iy_ref, g3_ref, m_ref, iw_ref, height=height, width=width,
                  chans=chans, inv_l=inv_l, robust=robust,
-                 nanifoutside=nanifoutside, delta=delta, nk=nk)
+                 nanifoutside=nanifoutside, delta=delta, nk=nk,
+                 grid_h=grid_h, ablate=ablate)
 
 
-def _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
+def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
                  g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
                  robust: RobustLoss | None, nanifoutside: bool, delta: int,
-                 nk: int):
+                 nk: int, grid_h: int, ablate: frozenset = frozenset()):
     f32 = jnp.float32
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -107,8 +112,15 @@ def _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
     def write_row(cc, r, vals):
         iw_ref[cc, r, :] = vals[0]
 
-    warp_tile(gx, gy, img, write_row,
-              height=height, width=width, chans=chans)
+    if "epionly" not in ablate:
+        warp_tile(gx, gy, img, write_row,
+                  height=height, width=width, chans=chans, ablate=ablate)
+
+    if "noepi" in ablate:
+        # Measurement-only: price the tile warp alone — keep the warp
+        # scratch live with a trivial accumulate instead of the epilogue.
+        m_ref[0, 0] += iw_ref[0, :8, :8]
+        return
 
     # ---- tile-wide epilogue: residual, weight, channel-reduced moments ----
     d = float(delta)
@@ -130,39 +142,51 @@ def _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
             t2 = t2 + dic * dic
 
     if robust is not None:
-        rho = rhop(t2, lam, robust)
+        rho = t2 * lam if "norho" in ablate else rhop(t2, lam, robust)
         maps = [rho * g3_ref[0, k] for k in range(3)] + [rho * u, rho * v]
     else:
         maps = [u, v]
 
-    # Real-pixel mask (grid is edge-padded to full tiles).
+    # Real-pixel mask (grid is edge-padded to full tiles). grid_h is the
+    # OUTPUT grid's real row count — the full height normally, the local
+    # shard rows under row-sharded SP (parallel/tiled.py).
     lx = jax.lax.broadcasted_iota(jnp.int32, (TR, TW), 1) + tx * TW
     ly = jax.lax.broadcasted_iota(jnp.int32, (TR, TW), 0) + ty * TR
-    ok = ((lx < width) & (ly < height)).astype(f32)
+    ok = ((lx < width) & (ly < grid_h)).astype(f32)
 
     # Per-tile coordinate power matrices (normalized by 1/L, like
     # ops/pallas/normal_eq._moment_kernel).
-    xn = (jax.lax.broadcasted_iota(jnp.int32, (TW, _KPAD), 0)
-          + tx * TW).astype(f32) * inv_l
-    xs = []
-    cur = jnp.ones((TW, 1), f32)
-    base = xn[:, :1]
-    for a in range(_KPAD):
-        if a > 0:
-            cur = cur * base
-        xs.append(cur if a < 5 else jnp.zeros_like(cur))
-    x_mat = jnp.concatenate(xs, axis=1)                # [TW, 8]
+    if "cheapmom" in ablate:
+        # timing only: skip the power construction
+        x_mat = jax.lax.broadcasted_iota(
+            jnp.int32, (TW, _KPAD), 0).astype(f32) * inv_l
+        y_mat = jax.lax.broadcasted_iota(
+            jnp.int32, (_KPAD, TR), 1).astype(f32) * inv_l
+    else:
+        xn = (jax.lax.broadcasted_iota(jnp.int32, (TW, _KPAD), 0)
+              + tx * TW).astype(f32) * inv_l
+        xs = []
+        cur = jnp.ones((TW, 1), f32)
+        base = xn[:, :1]
+        for a in range(_KPAD):
+            if a > 0:
+                cur = cur * base
+            xs.append(cur if a < 5 else jnp.zeros_like(cur))
+        x_mat = jnp.concatenate(xs, axis=1)                # [TW, 8]
 
-    yn = (jax.lax.broadcasted_iota(jnp.int32, (_KPAD, TR), 1)
-          + ty * TR).astype(f32) * inv_l
-    ys = []
-    cur = jnp.ones((1, TR), f32)
-    base = yn[:1, :]
-    for b in range(_KPAD):
-        if b > 0:
-            cur = cur * base
-        ys.append(cur if b < 5 else jnp.zeros_like(cur))
-    y_mat = jnp.concatenate(ys, axis=0)                # [8, TR]
+        # y powers use GLOBAL row coordinates: yoff is this shard's global
+        # row origin (0 on a single device), the same global moment basis
+        # as jacobian_fields(y_offset=...).
+        yn = (jax.lax.broadcasted_iota(jnp.int32, (_KPAD, TR), 1)
+              + ty * TR + yoff).astype(f32) * inv_l
+        ys = []
+        cur = jnp.ones((1, TR), f32)
+        base = yn[:1, :]
+        for b in range(_KPAD):
+            if b > 0:
+                cur = cur * base
+            ys.append(cur if b < 5 else jnp.zeros_like(cur))
+        y_mat = jnp.concatenate(ys, axis=0)                # [8, TR]
 
     hi = jax.lax.Precision.HIGHEST
     # One batched first-stage contraction for all nk maps ([nk*TR, TW] @
@@ -177,22 +201,27 @@ def _iter_common(lam, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "robust", "nanifoutside", "delta", "interpret",
-    "stream"))
+    "stream", "ablate"))
 def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
                        height: int, width: int,
                        robust: RobustLoss | None, nanifoutside: bool,
                        delta: int, interpret: bool = False,
-                       stream: bool = False):
+                       stream: bool = False, ablate: str = "",
+                       y_offset=None):
     """[B, K, 8, 8] weighted coordinate moments of one IC iteration.
 
     Args:
-      i2p: [B, C, Hp, Wp] planar moving image (pad_planar).
-      i1p, ixp, iyp: [B, C, Hp, Wp] planar template / its gradients
-        (boundary-band pre-masked, like models/ic.py).
-      g3p: [B, 3, Hp, Wp] planar (gxx, gxy, gyy) moments; pass None on the
+      i2p: [B, C, Hp, Wp] planar moving image (pad_planar) — always the
+        FULL frame (replicated under row sharding: a parametric warp can
+        fetch pixels from anywhere).
+      i1p, ixp, iyp: [B, C, Hp', Wp] planar template / its gradients
+        (boundary-band pre-masked, like models/ic.py); under row sharding
+        these are pad_planar of the LOCAL row shard.
+      g3p: [B, 3, Hp', Wp] planar (gxx, gxy, gyy) moments; pass None on the
         quadratic path (K = 2: u, v) — a 1-plane dummy is streamed instead
         so no unused gradient-moment bytes leave HBM.
-      gx, gy: [B, H, W] warp coordinates.
+      gx, gy: [B, H_out, W] warp coordinates in GLOBAL frame coordinates;
+        H_out is the full height normally, the local shard rows under SP.
       lam: [B] (or scalar, broadcast) per-pair runtime robust threshold
         (ignored when robust is None).
       robust: RobustLoss, or None for the quadratic path.
@@ -202,16 +231,22 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         compute (tile_warp.WindowedImage); tiles whose taps escape the
         window take the exact general path with direct HBM band DMAs.
         Numerically identical to the resident mode.
+      y_offset: traced scalar global row index of grid row 0 (row-sharded
+        SP callers pass `axis_index * h_loc`); None/0 on a single device.
+        The moment y-powers use global rows, so shard partials psum into
+        exactly the full-frame moments.
 
     Returns:
       m [B, K, 8, 8], K = 5 (w*gxx, w*gxy, w*gyy, w*u, w*v) or 2 (u, v);
-      assemble with ops.pallas.normal_eq._assemble_h / _assemble_b.
+      assemble with ops.pallas.normal_eq._assemble_h / _assemble_b
+      (after lax.psum over the tile axis when row-sharded).
     """
     b, c, hp8, wp = i2p.shape
-    hp = -(-height // TR) * TR
-    wg = -(-width // TW) * TW
+    h_out, w_out = gx.shape[-2:]
+    hp = -(-h_out // TR) * TR
+    wg = -(-w_out // TW) * TW
     if gx.shape[-2:] != (hp, wg):
-        pad = ((0, 0), (0, hp - height), (0, wg - width))
+        pad = ((0, 0), (0, hp - h_out), (0, wg - w_out))
         gx = jnp.pad(gx, pad, mode="edge")
         gy = jnp.pad(gy, pad, mode="edge")
     nk = 2 if robust is None else 5
@@ -219,16 +254,19 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         g3p = i2p[:, :1]     # 1-plane dummy, never read by the kernel
     ng3 = g3p.shape[1]
     lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (b,))
+    yoff = (jnp.zeros((1,), jnp.int32) if y_offset is None
+            else jnp.asarray(y_offset, jnp.int32).reshape(1))
     grid = (b, hp // TR, wg // TW)
     out_shape = jax.ShapeDtypeStruct((b, nk, 8, 8), jnp.float32)
     tile = lambda bb, ty, tx, *_: (bb, ty, tx)
     kw = dict(height=height, width=width, chans=c,
               inv_l=1.0 / float(max(height, width)), robust=robust,
-              nanifoutside=nanifoutside, delta=delta, nk=nk)
+              nanifoutside=nanifoutside, delta=delta, nk=nk, grid_h=h_out,
+              ablate=frozenset(a for a in ablate.split(",") if a))
 
     if not stream:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,    # lam [B]
+            num_scalar_prefetch=2,    # lam [B], yoff [1]
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
@@ -260,14 +298,14 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
+        )(lam, yoff, gx, gy, i2p, i1p, ixp, iyp, g3p)
 
     # ---- streaming (large-frame) mode ----
     wh = stream_window_rows(height, width, c)
     ys = band_starts(gy, hp8, wh)
     kernel = functools.partial(_iter_kernel_stream, wh=wh, **kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,    # ys [B*nty+1], lam [B]
+        num_scalar_prefetch=3,    # ys [B*nty+1], lam [B], yoff [1]
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
@@ -299,7 +337,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ys, lam, gx, gy, i2p, i1p, ixp, iyp, g3p)
+    )(ys, lam, yoff, gx, gy, i2p, i1p, ixp, iyp, g3p)
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,13 @@ Two per-tile execution paths, selected by an in-kernel predicate:
   folded into row 0 via the `extra` weight term, valid for gy >= -2 (the
   predicate enforces it; reference: src/bicubic_interpolation.py:8-23).
 
+  Throughput bound worth knowing: the statically-unrolled 3-chunk tap
+  pass covers an x-tap span of ~2.9 output tiles, i.e. x-minifications
+  up to ~2.9x stay on the fast path; stronger minification (>~3x
+  downscale in x — not produced by any alignment steady state, since the
+  pyramid absorbs scale) drops those tiles to the exact general path
+  below at ~5-10x the per-tile cost.
+
 * GENERAL path — anything else (large rotations/shears, far out-of-domain
   rows): per output row, the image-clipped y-tap rows are covered by a
   loop over absolute HB-row segments; each segment does the 4-tap x-pass
@@ -160,7 +167,8 @@ def keys_eval(t):
     return jnp.where(a <= 1.0, near, jnp.where(a < 2.0, far, 0.0))
 
 
-def warp_tile(gx, gy, img, write_row, *, height, width, chans):
+def warp_tile(gx, gy, img, write_row, *, height, width, chans,
+              ablate: frozenset = frozenset()):
     """Bicubic-warp one 8x128 tile of a planar image.
 
     Args:
@@ -171,6 +179,13 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
       write_row: callback (channel, row, values[1, TW]) storing one output
         row — lets each kernel direct output to its own ref layout.
       height, width: true image dims (tap clipping bounds).
+      ablate: measurement-only cost attribution knobs (trace-time static;
+        empty in production). Members may produce WRONG pixels — they exist
+        to price individual stages of the fast path on real hardware:
+        "chunk2"/"chunk1" truncate the 3-chunk tap-gather unroll, "nomask"
+        drops the tap in-band select, "cheapwy" replaces the dense Keys
+        y-weight evaluation with a linear map, "nofold" drops the top-row
+        clamp fold.
     """
     f32 = jnp.float32
     hp8 = img.hp8
@@ -241,11 +256,15 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
                 li = jnp.clip(loc, 0, TW - 1)
                 t = jnp.take_along_axis(
                     band, jnp.broadcast_to(li, (chf, TW)), axis=1)
-                out.append(gs[j] + jnp.where(inb, t, 0.0))
+                if "nomask" in ablate:
+                    out.append(gs[j] + t)
+                else:
+                    out.append(gs[j] + jnp.where(inb, t, 0.0))
             return tuple(out)
 
+        nchunk = 1 if "chunk1" in ablate else (2 if "chunk2" in ablate else 3)
         gs = tuple(jnp.zeros((chf, TW), f32) for _ in range(5))
-        for k in range(3):
+        for k in range(nchunk):
             gs = chunk_at(cs + k, gs)
 
         xm = x0mn.astype(f32)
@@ -261,16 +280,20 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans):
                 f = f + gs[j] * keys_eval(gxr - (xm + (j - 1.0)))
             # Dense y weights over band rows; fold clipped top taps into
             # row 0 (only possible when the band starts at the image top).
-            wy = keys_eval(gyr - (ymf32 + s_col))          # [hbf_t, TW]
+            if "cheapwy" in ablate:
+                wy = (gyr - (ymf32 + s_col)) * 0.01        # timing only
+            else:
+                wy = keys_eval(gyr - (ymf32 + s_col))      # [hbf_t, TW]
             # Clipped top taps (rows -1..-3, reachable for gy in [-2, 1))
             # all resolve to row 0 under the Neumann clamp; their weights
             # vanish identically for gy >= 1 so the fold is always safe.
-            extra = jnp.where(
-                ym == 0,
-                keys_eval(gyr + 1.0) + keys_eval(gyr + 2.0)
-                + keys_eval(gyr + 3.0),
-                jnp.zeros_like(gyr))
-            wy = jnp.concatenate([wy[:1] + extra, wy[1:]], axis=0)
+            if "nofold" not in ablate:
+                extra = jnp.where(
+                    ym == 0,
+                    keys_eval(gyr + 1.0) + keys_eval(gyr + 2.0)
+                    + keys_eval(gyr + 3.0),
+                    jnp.zeros_like(gyr))
+                wy = jnp.concatenate([wy[:1] + extra, wy[1:]], axis=0)
             prod = f.reshape(chans, hbf_t, TW) * wy[None]
             vals = jnp.sum(prod, axis=1)                   # [chans, TW]
             for cc in range(chans):

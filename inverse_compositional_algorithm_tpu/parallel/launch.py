@@ -103,9 +103,13 @@ def main(argv=None) -> dict:
     # Each host builds only ITS shard of the pair batch (different content
     # per host — that's the point of scale-out); align_sharded assembles
     # the global array from the per-process shards. Round the per-host
-    # batch so the global batch divides the pairs axis equally per host.
-    pairs_local = max(1, pairs // nproc)
-    b_local = -(-args.batch_per_host // pairs_local) * pairs_local
+    # batch UP so the global batch b_local * nproc is always a multiple of
+    # the pairs axis — including when nproc does not divide pairs (e.g.
+    # 3 hosts feeding a 4-way pairs axis needs b_local % 4 == 0).
+    import math
+
+    step = pairs // math.gcd(pairs, nproc)
+    b_local = max(step, -(-args.batch_per_host // step) * step)
     b_global = b_local * nproc
     i1, i2, _ = make_bench_batch(b_local, args.height, args.width,
                                  cfg.transform, seed=pid)

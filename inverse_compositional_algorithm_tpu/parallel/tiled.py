@@ -47,7 +47,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from .. import constants as cts
-from ..models.ic import ICState, _masked_residual
+from ..models.ic import ICState, _lost_overlap, _masked_residual
 from ..ops.normal_equations import (
     RobustLoss,
     grad_moments,
@@ -131,6 +131,8 @@ def _build_tiled_fn(
     dtype_name: str,
     use_pallas: bool = False,
     interpret: bool = False,
+    divergence_guard: bool = True,
+    delta_cap: bool = True,
 ):
     """Build + jit the shard_map program for one static configuration.
 
@@ -143,22 +145,31 @@ def _build_tiled_fn(
     dt = jnp.dtype(dtype_name)
     nt = mesh.shape[TILE_AXIS]
     h_loc = hh // nt
-    delta = effective_delta(delta, hh, ww)   # same cap as models.ic
+    if delta_cap:
+        delta = effective_delta(delta, hh, ww)   # same cap as models.ic
     is_robust = robust is not RobustLoss.QUADRATIC
     scale = param_preconditioner(ttype, hh, ww) if precondition else None
     live = np.zeros(cts.NPARAMS_MAX, np.float32)
     live[: nparams(ttype)] = 1.0
     lam0 = lam if lam > 0 else cts.LAMBDA_0
 
-    # Pallas tile-warp inside shard_map: each device warps only its local
-    # output rows (gx/gy carry the global y_offset) while sampling the
-    # replicated full moving image — the kernel signature already separates
-    # output-grid dims from source clip bounds (ops/pallas/warp.py).
+    # Pallas inside shard_map: each device computes only its local output
+    # rows (gx/gy carry the global y_offset) while sampling the replicated
+    # full moving image. With preconditioning + f32 the per-iteration work
+    # is the SAME fused moment kernel as the flagship solver
+    # (ops/pallas/fused_iter.py, y_offset = this shard's global row
+    # origin) and only the [B, K, 8, 8] moment partials cross the
+    # interconnect; otherwise the Pallas warp feeds the XLA moment chain.
     pallas_mode = None
     if use_pallas:
         from ..ops.pallas.warp import pad_planar, plan_warp_mode
 
         pallas_mode = plan_warp_mode(hh, ww, shape[3], jnp.dtype(dtype_name))
+    fused = (pallas_mode is not None and precondition
+             and dt == jnp.float32)
+    if fused:
+        from ..ops.pallas.fused_iter import fused_iter_moments
+        from ..ops.pallas.normal_eq import _assemble_b, _assemble_h
 
     def shard_fn(i1_loc, i2_full, p0_loc):
         y0 = lax.axis_index(TILE_AXIS) * h_loc
@@ -167,6 +178,12 @@ def _build_tiled_fn(
 
         ix, iy = _halo_gradients(i1_loc, nt, y0, hh, delta, nanifoutside)
         gxx, gxy, gyy = grad_moments(ix, iy)
+        if fused:
+            i1p = pad_planar(i1_loc)
+            ixp = pad_planar(ix)
+            iyp = pad_planar(iy)
+            g3p = (pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1))
+                   if is_robust else None)
         jx, jy = jacobian_fields(ttype, h_loc, ww, dtype=dt, scale=scale,
                                  y_offset=y0)
 
@@ -176,43 +193,76 @@ def _build_tiled_fn(
                 hessian(gxx, gxy, gyy, jx, jy, chunk=hessian_chunk),
                 TILE_AXIS)
 
+        p0p = pad_params(jnp.asarray(p0_loc, dt))
+
+        def _anneal(lam_cur, act):
+            if not is_robust or lam > 0:
+                return lam_cur
+            nxt = jnp.where(
+                lam_cur > cts.LAMBDA_N,
+                jnp.maximum(lam_cur * cts.LAMBDA_RATIO, cts.LAMBDA_N),
+                lam_cur)
+            return jnp.where(act, nxt, lam_cur)
+
         def body(s):
             gx, gy = transform_grid(s.p, ttype, h_loc, ww, y_offset=y0)
-            if pallas_mode:
-                from ..ops.pallas.warp import pallas_warp_planar
-
-                iw = pallas_warp_planar(
-                    i2p, gx, gy, hh, ww, interpret=interpret,
-                    stream=(pallas_mode == "stream")).transpose(0, 2, 3, 1)
+            if fused:
+                # ONE kernel per iteration per shard; global-y moment
+                # basis, so the psum'd partials are exactly the
+                # full-frame moments of models.ic's fused path.
+                m = fused_iter_moments(
+                    i2p, i1p, ixp, iyp, g3p, gx, gy, s.lam,
+                    height=hh, width=ww,
+                    robust=robust if is_robust else None,
+                    nanifoutside=nanifoutside, delta=delta,
+                    interpret=interpret,
+                    stream=(pallas_mode == "stream"), y_offset=y0)
+                m = lax.psum(m, TILE_AXIS)
+                if is_robust:
+                    h = _assemble_h(m[:, :3], ttype, hh, ww)
+                    b = _assemble_b(m[:, 3:], ttype, hh, ww)
+                else:
+                    h, b = h_quad, _assemble_b(m, ttype, hh, ww)
             else:
-                iw = bicubic_sample(i2_full, gx, gy)
-            valid = domain_mask(gx, gy, hh, ww, delta)
-            di = _masked_residual(iw, valid, i1_loc, nanifoutside)
+                if pallas_mode:
+                    from ..ops.pallas.warp import pallas_warp_planar
 
-            if is_robust:
-                rho = robust_weights(di, s.lam, robust)
-                lam_next = jnp.where(
-                    s.lam > cts.LAMBDA_N,
-                    jnp.maximum(s.lam * cts.LAMBDA_RATIO, cts.LAMBDA_N),
-                    s.lam) if lam <= 0 else s.lam
-                h = lax.psum(
-                    hessian(gxx, gxy, gyy, jx, jy, weights=rho,
-                            chunk=hessian_chunk), TILE_AXIS)
-            else:
-                rho, lam_next, h = None, s.lam, h_quad
+                    iw = pallas_warp_planar(
+                        i2p, gx, gy, hh, ww, interpret=interpret,
+                        stream=(pallas_mode == "stream")
+                    ).transpose(0, 2, 3, 1)
+                else:
+                    iw = bicubic_sample(i2_full, gx, gy)
+                valid = domain_mask(gx, gy, hh, ww, delta)
+                di = _masked_residual(iw, valid, i1_loc, nanifoutside)
 
-            u, v = residual_moments(ix, iy, di)
-            b = lax.psum(rhs(u, v, jx, jy, weights=rho), TILE_AXIS)
+                if is_robust:
+                    rho = robust_weights(di, s.lam[:, None, None], robust)
+                    h = lax.psum(
+                        hessian(gxx, gxy, gyy, jx, jy, weights=rho,
+                                chunk=hessian_chunk), TILE_AXIS)
+                else:
+                    rho, h = None, h_quad
+                u, v = residual_moments(ix, iy, di)
+                b = lax.psum(rhs(u, v, jx, jy, weights=rho), TILE_AXIS)
+
+            act = s.active
+            lam_next = _anneal(s.lam, act)
             dp, err = solve_normal(h, b, live, precond=scale)
 
             p_new = compose_inverse(s.p, pad_params(dp), ttype)
-            act = s.active
+            if divergence_guard:
+                bad = act & _lost_overlap(p_new, ttype, hh, ww)
+                p_new = jnp.where(bad[:, None], p0p, p_new)
+            else:
+                bad = jnp.zeros_like(act)
             p = jnp.where(act[:, None], p_new, s.p)
             error = jnp.where(act, err, s.error)
             niters = s.niters + act.astype(s.niters.dtype)
-            still = act & (err > tol) & (s.it + 1 < max_iter)
+            still = act & (err > tol) & ~bad & (s.it + 1 < max_iter)
             return ICState(p=p, error=error, lam=lam_next, it=s.it + 1,
-                           niters=niters, active=still, diverged=s.diverged)
+                           niters=niters, active=still,
+                           diverged=s.diverged | bad)
 
         # Variance-checked shard_map: per-pair carries start with the
         # pairs-varying type the loop body produces. (With use_pallas the
@@ -223,9 +273,9 @@ def _build_tiled_fn(
         else:
             vary = lambda x: jax.lax.pcast(x, PAIRS_AXIS, to="varying")
         init = ICState(
-            p=pad_params(jnp.asarray(p0_loc, dt)),
+            p=p0p,
             error=vary(jnp.full((b_loc,), 1e10, dt)),
-            lam=jnp.asarray(lam0, dt),
+            lam=vary(jnp.full((b_loc,), lam0, dt)),
             it=jnp.asarray(0, jnp.int32),
             niters=vary(jnp.zeros((b_loc,), jnp.int32)),
             active=vary(jnp.ones((b_loc,), bool)),
@@ -233,16 +283,15 @@ def _build_tiled_fn(
         )
         s = lax.while_loop(lambda s: jnp.any(s.active), body, init)
         # Each pairs-shard runs its own while_loop trip count, so the
-        # scalar it/lam diverge across the pairs axis. Reduce them to
-        # well-defined, replicated diagnostics: the max trip count and the
-        # matching (most-annealed, i.e. minimum) lambda.
-        return ICState(p=s.p, error=s.error,
-                       lam=lax.pmin(s.lam, PAIRS_AXIS),
+        # scalar `it` diverges across the pairs axis; reduce it to a
+        # well-defined replicated diagnostic (max trip count). lam is
+        # per-pair state like the flagship solver.
+        return ICState(p=s.p, error=s.error, lam=s.lam,
                        it=lax.pmax(s.it, PAIRS_AXIS),
                        niters=s.niters, active=s.active, diverged=s.diverged)
 
     pp = P(PAIRS_AXIS)
-    state_specs = ICState(p=pp, error=pp, lam=P(), it=P(), niters=pp,
+    state_specs = ICState(p=pp, error=pp, lam=pp, it=P(), niters=pp,
                           active=pp, diverged=pp)
     fn = shard_map(
         shard_fn,
@@ -271,22 +320,29 @@ def tiled_ic_solve(
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
     interpret: bool = False,
+    divergence_guard: bool = True,
+    delta_cap: bool = True,
 ):
     """Single-scale IC/IRLS solve, row-tiled over mesh axis "tile" and
     batch-sharded over "pairs". Numerically equivalent to models.ic.ic_solve
-    up to float summation order. The compiled program is cached per
-    (config, mesh, shape, dtype) — repeated solves pay compile cost once.
+    up to float summation order — INCLUDING per-pair lambda annealing and
+    the divergence guard (lost pairs revert to the warm start with
+    `diverged` set, exactly like the flagship solver). The compiled
+    program is cached per (config, mesh, shape, dtype) — repeated solves
+    pay compile cost once.
 
     Args:
       i1, i2: [B, H, W, C]; B divisible by the pairs axis, H by the tile
         axis. p0: [B, 8].
-      use_pallas: warp each device's local row shard with the Pallas tile
-        kernel (Mosaic under shard_map) instead of the XLA gather sampler;
-        interpret runs that kernel in the Pallas interpreter (CPU lanes).
+      use_pallas: run each device's per-iteration work through Mosaic
+        under shard_map — with preconditioning + f32 this is the same
+        fused warp->moments kernel as models.ic (one [B, K, 8, 8] psum per
+        iteration crosses the interconnect); interpret runs the kernels in
+        the Pallas interpreter (CPU lanes).
 
     Returns:
-      ICState (p/error/niters sharded over pairs; it/lam are replicated
-      global diagnostics: max trip count / min lambda across pair shards).
+      ICState (p/error/lam/niters/diverged sharded over pairs; `it` is the
+      replicated max trip count across pair shards).
     """
     bsz, hh, ww, _ = i1.shape
     dt = i1.dtype
@@ -300,7 +356,8 @@ def tiled_ic_solve(
                          float(lam), bool(nanifoutside), int(delta),
                          bool(precondition), int(hessian_chunk),
                          tuple(i1.shape), jnp.dtype(dt).name,
-                         bool(use_pallas), bool(interpret))
+                         bool(use_pallas), bool(interpret),
+                         bool(divergence_guard), bool(delta_cap))
     return fn(i1, i2, pad_params(jnp.asarray(p0, dt)))
 
 
@@ -324,6 +381,8 @@ def tiled_pyramidal_solve(
     hessian_chunk: int = 16384,
     use_pallas: bool = False,
     interpret: bool = False,
+    divergence_guard: bool = True,
+    delta_cap: bool = True,
 ):
     """Coarse-to-fine pyramid over the explicitly-tiled SP solver.
 
@@ -357,7 +416,8 @@ def tiled_pyramidal_solve(
     state = None
     kw = dict(tol=tol, max_iter=max_iter, robust=robust, lam=lam,
               nanifoutside=nanifoutside, delta=delta,
-              precondition=precondition, hessian_chunk=hessian_chunk)
+              precondition=precondition, hessian_chunk=hessian_chunk,
+              divergence_guard=divergence_guard, delta_cap=delta_cap)
     for s in range(nscales - 1, -1, -1):
         lh = shapes[s][0]
         if lh % nt == 0:

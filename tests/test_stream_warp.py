@@ -134,3 +134,26 @@ def test_solver_streams_on_forced_plan(monkeypatch):
                                atol=1e-2)
     np.testing.assert_allclose(np.asarray(s_stm.p), np.asarray(s_xla.p),
                                atol=1e-4)
+
+
+def test_plan_warp_mode_boundaries():
+    """Pin the planner's exact support bounds (README claims must match):
+    f32 + H >= 16 + streaming window <= 8 MB run a Pallas mode; frames
+    below 16 rows, non-f32 dtypes, and ultra-wide frames whose window
+    exceeds the budget return None (explicit XLA fallback)."""
+    f32 = jnp.float32
+    # in-support: resident for small, stream for large
+    assert pwarp.plan_warp_mode(388, 584, 3, f32) == "resident"
+    assert pwarp.plan_warp_mode(720, 1280, 3, f32) == "stream"
+    assert pwarp.plan_warp_mode(2160, 3840, 3, f32) == "stream"
+    # height bound: 16 rows is the minimum (fast-path band needs them)
+    assert pwarp.plan_warp_mode(16, 584, 3, f32) is not None
+    assert pwarp.plan_warp_mode(15, 584, 3, f32) is None
+    # dtype bound: the Mosaic kernels are f32-only
+    assert pwarp.plan_warp_mode(388, 584, 3, jnp.float64) is None
+    assert pwarp.plan_warp_mode(388, 584, 3, jnp.bfloat16) is None
+    # width bound: the 32-row double-buffered RGB window hits the 8 MB
+    # budget at ~10.9k px (8K = 7680 px is comfortably inside)
+    assert pwarp.plan_warp_mode(4320, 7680, 3, f32) == "stream"
+    assert pwarp.plan_warp_mode(64, 10000, 3, f32) == "stream"
+    assert pwarp.plan_warp_mode(64, 11008, 3, f32) is None
