@@ -29,11 +29,36 @@ from inverse_compositional_algorithm_tpu.ops.transforms import (
 from inverse_compositional_algorithm_tpu.ops.warp import bicubic_sample
 
 
-def make_sequence(n_frames: int = 8, h: int = 240, w: int = 320, seed: int = 0):
-    """A smooth scene observed through a jittering euclidean camera."""
-    rng = np.random.default_rng(seed)
-    scene = gaussian_blur(
+def load_scene(h: int, w: int):
+    """A REAL Middlebury frame from the reference's test data (the same
+    fixture its notebooks drive — docs/rawData.md), falling back to a
+    synthetic smooth texture when the checkout is absent."""
+    try:
+        from inverse_compositional_algorithm_tpu.utils.imageio import (
+            load_image,
+        )
+
+        img = np.asarray(
+            load_image("/root/reference/test/data/rubber_whale.png"),
+            np.float32)
+        y0 = (img.shape[0] - h) // 2
+        x0 = (img.shape[1] - w) // 2
+        if y0 >= 0 and x0 >= 0:
+            print("scene: Middlebury rubber_whale (real image)")
+            return jnp.asarray(img[None, y0:y0 + h, x0:x0 + w, :3])
+    except Exception:
+        pass
+    rng = np.random.default_rng(42)
+    print("scene: synthetic texture (reference data not found)")
+    return gaussian_blur(
         jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)), jnp.float32), 2.0)
+
+
+def make_sequence(n_frames: int = 8, h: int = 288, w: int = 384,
+                  seed: int = 0):
+    """A real scene observed through a jittering euclidean camera."""
+    rng = np.random.default_rng(seed)
+    scene = load_scene(h, w)
     # random per-frame jitter: a few px of translation + ~0.5 deg of roll
     jitter = np.zeros((n_frames, 8), np.float32)
     jitter[1:, 0] = rng.uniform(-4, 4, n_frames - 1)
@@ -82,7 +107,15 @@ def main(outdir: str | None = None) -> None:
         os.makedirs(outdir, exist_ok=True)
         for k in range(n):
             save_image(stabilized[k], os.path.join(outdir, f"stab_{k:03d}.png"))
-        print(f"wrote {n} stabilized frames to {outdir}/")
+        # side-by-side evidence strip: jittered input row over stabilized row
+        raw = np.asarray(frames)
+        strip = np.concatenate([
+            np.concatenate(list(raw[: min(4, n)]), axis=1),
+            np.concatenate(list(np.nan_to_num(stabilized[: min(4, n)])),
+                           axis=1),
+        ], axis=0)
+        save_image(strip, os.path.join(outdir, "strip.png"))
+        print(f"wrote {n} stabilized frames + strip.png to {outdir}/")
 
 
 if __name__ == "__main__":

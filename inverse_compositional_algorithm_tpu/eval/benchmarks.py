@@ -112,9 +112,16 @@ def _bench_scan(i1, i2, p0s, scales, cfg, k: int):
     return acc, nit
 
 
-def _measure(i1, i2, cfg, batch, repeats, repeats0):
-    """(pairs_per_sec, seconds_per_batch, mean_finest_iters) of the full
-    alignment via the two-point on-device scan."""
+def _measure(i1, i2, cfg, batch, repeats, repeats0, nsamples: int = 3):
+    """(pairs_per_sec, seconds_per_batch, mean_finest_iters, samples) of
+    the full alignment via the two-point on-device scan.
+
+    The tunneled chip shows ~1.4x whole-run variance (PERF.md), so ONE
+    two-point sample per metric made cross-round comparison +-40%; here
+    `nsamples` independent two-point measurements run back-to-back in the
+    same process and the headline value is their MEDIAN, with
+    min/median/max returned for the machine record (VERDICT r4 item 5).
+    """
     rng = np.random.default_rng(1)
     # Perturb ONLY the translation slots: +-1e-4 px is physically
     # negligible at any frame size, which is all the perturbation is for
@@ -133,16 +140,45 @@ def _measure(i1, i2, cfg, batch, repeats, repeats0):
     acc, nit = _bench_scan(i1, i2, p0s, scales, cfg, repeats)
     float(acc)
 
-    t0 = time.perf_counter()
-    float(_bench_scan(i1, i2, p0s, scales, cfg, repeats0)[0])
-    t1 = time.perf_counter()
-    acc, nit = _bench_scan(i1, i2, p0s, scales, cfg, repeats)
-    float(acc)
-    t2 = time.perf_counter()
+    per_batch_samples = []
+    for _ in range(max(1, nsamples)):
+        t0 = time.perf_counter()
+        float(_bench_scan(i1, i2, p0s, scales, cfg, repeats0)[0])
+        t1 = time.perf_counter()
+        acc, nit = _bench_scan(i1, i2, p0s, scales, cfg, repeats)
+        float(acc)
+        t2 = time.perf_counter()
+        per_batch_samples.append(((t2 - t1) - (t1 - t0))
+                                 / (repeats - repeats0))
 
-    per_batch = ((t2 - t1) - (t1 - t0)) / (repeats - repeats0)
+    per_batch = float(np.median(per_batch_samples))
+    samples = {
+        "pairs_per_sec_min": round(batch / max(per_batch_samples), 3),
+        "pairs_per_sec_median": round(batch / per_batch, 3),
+        "pairs_per_sec_max": round(batch / min(per_batch_samples), 3),
+        "n": len(per_batch_samples),
+    }
     return (batch / per_batch, per_batch,
-            float(np.asarray(nit, np.float64).mean()))
+            float(np.asarray(nit, np.float64).mean()), samples)
+
+
+def _two_point_ms(run_k, k: int = 12, k0: int = 3, nsamples: int = 3):
+    """(median ms-per-unit, {min, median, max, n}) of `nsamples`
+    back-to-back two-point on-device-scan measurements; run_k(k) must
+    block on a k-step scan's scalar result."""
+    run_k(k0)
+    run_k(k)
+    ms = []
+    for _ in range(max(1, nsamples)):
+        t0 = time.perf_counter()
+        run_k(k0)
+        t1 = time.perf_counter()
+        run_k(k)
+        t2 = time.perf_counter()
+        ms.append(((t2 - t1) - (t1 - t0)) / (k - k0) * 1e3)
+    med = float(np.median(ms))
+    return med, {"ms_min": round(min(ms), 3), "ms_median": round(med, 3),
+                 "ms_max": round(max(ms), 3), "n": len(ms)}
 
 
 def hbm_peak_gbs() -> tuple[float, str]:
@@ -213,15 +249,7 @@ def kernel_roofline(batch: int, height: int, width: int,
 
         return jax.lax.scan(step, jnp.float32(0.0), None, length=k)[0]
 
-    k, k0 = 12, 3
-    float(scan_k(gx, gy, k0))
-    float(scan_k(gx, gy, k))
-    t0 = time.perf_counter()
-    float(scan_k(gx, gy, k0))
-    t1 = time.perf_counter()
-    float(scan_k(gx, gy, k))
-    t2 = time.perf_counter()
-    ms = ((t2 - t1) - (t1 - t0)) / (k - k0) * 1e3
+    ms, samp = _two_point_ms(lambda k: float(scan_k(gx, gy, k)))
 
     _, c, hp8, wp = plan.i2p.shape
     nplanes = 3 * c + 3
@@ -231,6 +259,7 @@ def kernel_roofline(batch: int, height: int, width: int,
     peak, peak_src = hbm_peak_gbs()
     return {
         "fused_iter_ms_per_batch": round(ms, 3),
+        "fused_iter_samples": samp,
         "fused_iter_gbs": round(gbs, 1),
         "hbm_peak_gbs": peak,
         "hbm_peak_source": peak_src,
@@ -314,16 +343,8 @@ def vpu_floor(batch: int, height: int, width: int) -> dict:
 
         return jax.lax.scan(step, jnp.float32(0.0), None, length=k)[0]
 
-    k, k0 = 12, 3
-    float(scan_k(img_p, k0))
-    float(scan_k(img_p, k))
-    t0 = time.perf_counter()
-    float(scan_k(img_p, k0))
-    t1 = time.perf_counter()
-    float(scan_k(img_p, k))
-    t2 = time.perf_counter()
-    ms = ((t2 - t1) - (t1 - t0)) / (k - k0) * 1e3
-    return {"floor_ms_per_batch": round(ms, 3)}
+    ms, samp = _two_point_ms(lambda k: float(scan_k(img_p, k)))
+    return {"floor_ms_per_batch": round(ms, 3), "floor_samples": samp}
 
 
 def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
@@ -354,8 +375,8 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
     if cfg.use_pallas and jax.default_backend() != "tpu":
         cfg = cfg.replace(use_pallas=False)
     i1, i2, _ = make_bench_batch(batch, height, width, transform)
-    pps, per_batch, mean_iters = _measure(i1, i2, cfg, batch, repeats,
-                                          repeats0)
+    pps, per_batch, mean_iters, samp = _measure(i1, i2, cfg, batch, repeats,
+                                                repeats0)
     rec = {
         "metric": f"pairs/sec/chip ({transform.name.lower()}, "
                   f"{robust.name.lower()}, {nscales}-scale, {height}x{width})",
@@ -365,25 +386,30 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
         "batch": batch,
         "seconds_per_batch": round(per_batch, 4),
         "mean_finest_iters": round(mean_iters, 1),
+        "samples": samp,
         "device": str(jax.devices()[0]).replace(" ", "_"),
-        "timing": "on-device scan, two-point (RTT-cancelled)",
+        "timing": "on-device scan, two-point (RTT-cancelled), "
+                  "median of in-run samples",
     }
     if not full:
         return rec
 
     i1h, i2h, _ = make_bench_batch(batch, height, width, transform,
                                    seed=7, hard=True)
-    pps_h, _, it_h = _measure(i1h, i2h, cfg, batch, repeats, repeats0)
+    pps_h, _, it_h, samp_h = _measure(i1h, i2h, cfg, batch, repeats, repeats0)
     rec["hard_motion"] = {"pairs_per_sec": round(pps_h, 3),
                           "vs_baseline": round(
                               pps_h / NUMPY_BASELINE_PAIRS_PER_SEC, 1),
-                          "mean_finest_iters": round(it_h, 1)}
+                          "mean_finest_iters": round(it_h, 1),
+                          "samples": samp_h}
 
     cfg_fix = cfg.replace(tol=1e-9)
-    pps_f, sec_f, it_f = _measure(i1, i2, cfg_fix, batch, repeats, repeats0)
+    pps_f, sec_f, it_f, samp_f = _measure(i1, i2, cfg_fix, batch, repeats,
+                                          repeats0)
     rec["fixed_30_iters"] = {"pairs_per_sec": round(pps_f, 3),
                              "seconds_per_batch": round(sec_f, 4),
-                             "mean_finest_iters": round(it_f, 1)}
+                             "mean_finest_iters": round(it_f, 1),
+                             "samples": samp_f}
 
     rec["roofline"] = kernel_roofline(batch, height, width, transform,
                                       robust)
@@ -401,9 +427,10 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
     # ~linear in pixel count.
     base_px_rate = pps * (height * width) / 1e6
     rec["large_frame"] = {}
-    for (lh, lw, lb) in ((720, 1280, 4), (1080, 1920, 2)):
+    for (lh, lw, lb) in ((720, 1280, 4), (1080, 1920, 2), (2160, 3840, 1)):
         i1l, i2l, _ = make_bench_batch(lb, lh, lw, transform, seed=3)
-        pps_l, sec_l, it_l = _measure(i1l, i2l, cfg, lb, repeats, repeats0)
+        pps_l, sec_l, it_l, samp_l = _measure(i1l, i2l, cfg, lb, repeats,
+                                              repeats0)
         px = lh * lw / 1e6
         rec["large_frame"][f"{lw}x{lh}"] = {
             "pairs_per_sec": round(pps_l, 3),
@@ -412,5 +439,6 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
             "mean_finest_iters": round(it_l, 1),
             "mpix_pairs_per_sec": round(pps_l * px, 2),
             "vs_headline_px_rate": round(pps_l * px / base_px_rate, 3),
+            "samples": samp_l,
         }
     return rec

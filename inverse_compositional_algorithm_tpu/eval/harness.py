@@ -146,7 +146,8 @@ def evaluate_occlusion(images, base: AlignConfig = AlignConfig(),
             cfg = cfg.replace(use_pallas=False)
         res = _align_batched(i1, i2, p0, cfg)
         jax.block_until_ready(res.p)
-        pps, dt, _ = _measure(i1, i2, cfg, b, repeats=4, repeats0=1)
+        pps, dt, _, _ = _measure(i1, i2, cfg, b, repeats=4,
+                                 repeats0=1, nsamples=1)
         k = nparams(cfg.transform)
         err = np.asarray(res.p)[:, :k] - gt[:, :k]
         out.append(EvalResult(
@@ -190,7 +191,8 @@ def evaluate(images: np.ndarray, config: AlignConfig,
 
     res = _align_batched(i1, i2, p0, config)
     jax.block_until_ready(res.p)
-    pps, dt, _ = _measure(i1, i2, config, b, repeats=4, repeats0=1)
+    pps, dt, _, _ = _measure(i1, i2, config, b, repeats=4,
+                             repeats0=1, nsamples=1)
 
     k = nparams(config.transform)
     err = np.asarray(res.p)[:, :k] - gt[:, :k]

@@ -33,12 +33,14 @@ from ..config import AlignConfig
 from ..ops.normal_equations import RobustLoss
 from ..ops.transforms import TransformType
 from .harness import (
+    evaluate_occlusion,
     evaluate_pyramid_levels,
     evaluate_robust_losses,
     evaluate_transforms,
 )
 
-REF_IMAGES = ("rubber_whale.png", "dimetrodon.png", "hydrangea.png")
+REF_IMAGES = ("rubber_whale.png", "dimetrodon.png", "hydrangea.png",
+              "lena_color.tiff", "mandrill.tiff", "peppers3.tif")
 REF_DIR = "/root/reference/test/data"
 
 
@@ -79,10 +81,17 @@ def _reference_crops(size: int) -> list:
     return imgs
 
 
-def _procedural_textures(n: int, size: int, seed: int = 0) -> list:
+def _procedural_textures(n: int, size: int, seed: int = 0,
+                         hostile_frac: float = 0.25) -> list:
     """n distinct aperiodic textures with varied spectra: per-texture random
     blur cutoff (band limit), optional multi-scale mixture, random contrast.
-    All are well-posed for alignment (no translation ambiguity)."""
+    All are well-posed for alignment (no translation ambiguity).
+
+    A `hostile_frac` share of the bank is made deliberately HOSTILE to
+    gradient-based alignment (round-4 VERDICT item 4): flat/low-texture
+    patches covering ~25-40% of the frame (zero gradient there) and
+    saturation-clipped contrast (values crushed to 0/255 plateaus) — the
+    content classes the friendly round-4 bank never exercised."""
     from ..ops.pyramid import gaussian_blur
     import jax.numpy as jnp
 
@@ -98,7 +107,22 @@ def _procedural_textures(n: int, size: int, seed: int = 0) -> list:
                             .astype(np.float32)), 1.0)[0])
             tex = 0.7 * tex + 0.3 * fine
         tex = tex - tex.min()
-        tex = tex / max(tex.max(), 1e-6) * float(rng.uniform(150.0, 255.0))
+        tex = tex / max(tex.max(), 1e-6)
+        hostile = (i % max(1, int(round(1.0 / max(hostile_frac, 1e-6))))
+                   == 0)
+        if hostile and rng.random() < 0.5:
+            # flat patch: a featureless region of ~25-40% of the area
+            side = int(size * rng.uniform(0.5, 0.63))
+            y0 = int(rng.integers(0, size - side + 1))
+            x0 = int(rng.integers(0, size - side + 1))
+            tex[y0:y0 + side, x0:x0 + side] = float(rng.uniform(0.3, 0.7))
+            tex = tex * float(rng.uniform(150.0, 255.0))
+        elif hostile:
+            # saturation clipping: crush ~40% of pixels into 0/255 plateaus
+            tex = np.clip((tex - 0.5) * float(rng.uniform(2.5, 4.0)) + 0.5,
+                          0.0, 1.0) * 255.0
+        else:
+            tex = tex * float(rng.uniform(150.0, 255.0))
         out.append(tex.astype(np.float32))
     return out
 
@@ -171,6 +195,15 @@ def main(out_path: str | None = None) -> dict:
         dataclasses.asdict(r)
         for r in evaluate_transforms(images, base.replace(nscales=5),
                                      magnitude=10.0)]
+    # Occlusion sweep (round-4 VERDICT item 2): a ~20%-area patch of each
+    # moving image belongs to a different motion layer; quadratic is
+    # expected to degrade while the redescending losses hold — the
+    # workload IRLS exists for, which no clean sweep can show.
+    print("occlusion sweep (QUADRATIC vs robust, 20% second layer)...",
+          flush=True)
+    record["sweeps"]["occlusion_robustness"] = [
+        dataclasses.asdict(r)
+        for r in evaluate_occlusion(images, base, occl_frac=0.2)]
     # Continuity lane: the round-3 stack (3 center crops replicated to 8).
     print("legacy 8-image continuity sweep...", flush=True)
     legacy = legacy_eval_images()

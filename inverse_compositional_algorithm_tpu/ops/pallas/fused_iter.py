@@ -62,14 +62,14 @@ _KPAD = 8   # moment maps padded to one sublane tile
 
 
 def _iter_kernel(lam_ref, yoff_ref, gx_ref, gy_ref, img_ref, i1_ref,
-                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, *, height, width,
-                 chans, inv_l, robust: RobustLoss | None,
+                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, wx_ref, *, height,
+                 width, chans, inv_l, robust: RobustLoss | None,
                  nanifoutside: bool, delta: int, nk: int, grid_h: int,
                  ablate: frozenset = frozenset()):
     # lam is a scalar-prefetch [B] array (SMEM); pick this pair's entry.
     lam = lam_ref[pl.program_id(0)]
     _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, ResidentImage(img_ref),
-                 i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref,
+                 i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref, wx_ref,
                  height=height, width=width, chans=chans, inv_l=inv_l,
                  robust=robust, nanifoutside=nanifoutside, delta=delta,
                  nk=nk, grid_h=grid_h, ablate=ablate)
@@ -77,8 +77,9 @@ def _iter_kernel(lam_ref, yoff_ref, gx_ref, gy_ref, img_ref, i1_ref,
 
 def _iter_kernel_stream(ys_ref, lam_ref, yoff_ref, gx_ref, gy_ref, img_ref,
                         i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref,
-                        win_ref, wsem_ref, gband_ref, gsem_ref, *, height,
-                        width, chans, inv_l, robust: RobustLoss | None,
+                        wx_ref, win_ref, wsem_ref, gband_ref, gsem_ref, *,
+                        height, width, chans, inv_l,
+                        robust: RobustLoss | None,
                         nanifoutside: bool, delta: int, nk: int,
                         grid_h: int, wh: int,
                         ablate: frozenset = frozenset()):
@@ -87,16 +88,17 @@ def _iter_kernel_stream(ys_ref, lam_ref, yoff_ref, gx_ref, gy_ref, img_ref,
     img.gsem = gsem_ref
     lam = lam_ref[pl.program_id(0)]
     _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, img, i1_ref, ix_ref,
-                 iy_ref, g3_ref, m_ref, iw_ref, height=height, width=width,
-                 chans=chans, inv_l=inv_l, robust=robust,
+                 iy_ref, g3_ref, m_ref, iw_ref, wx_ref, height=height,
+                 width=width, chans=chans, inv_l=inv_l, robust=robust,
                  nanifoutside=nanifoutside, delta=delta, nk=nk,
                  grid_h=grid_h, ablate=ablate)
 
 
 def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
-                 g3_ref, m_ref, iw_ref, *, height, width, chans, inv_l,
-                 robust: RobustLoss | None, nanifoutside: bool, delta: int,
-                 nk: int, grid_h: int, ablate: frozenset = frozenset()):
+                 g3_ref, m_ref, iw_ref, wx_ref, *, height, width, chans,
+                 inv_l, robust: RobustLoss | None, nanifoutside: bool,
+                 delta: int, nk: int, grid_h: int,
+                 ablate: frozenset = frozenset()):
     f32 = jnp.float32
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -154,49 +156,61 @@ def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
     ly = jax.lax.broadcasted_iota(jnp.int32, (TR, TW), 0) + ty * TR
     ok = ((lx < width) & (ly < grid_h)).astype(f32)
 
-    # Per-tile coordinate power matrices (normalized by 1/L, like
-    # ops/pallas/normal_eq._moment_kernel).
+    # Per-tile x-power matrix, TRANSPOSED layout [8, TW] (powers in
+    # sublanes, x in lanes: one vreg per power row — the [TW, 8] layout
+    # wasted 16 mostly-empty vregs and cost a concat relayout per tile).
     if "cheapmom" in ablate:
         # timing only: skip the power construction
-        x_mat = jax.lax.broadcasted_iota(
-            jnp.int32, (TW, _KPAD), 0).astype(f32) * inv_l
-        y_mat = jax.lax.broadcasted_iota(
-            jnp.int32, (_KPAD, TR), 1).astype(f32) * inv_l
+        xt = jax.lax.broadcasted_iota(
+            jnp.int32, (_KPAD, TW), 1).astype(f32) * inv_l
     else:
-        xn = (jax.lax.broadcasted_iota(jnp.int32, (TW, _KPAD), 0)
-              + tx * TW).astype(f32) * inv_l
+        base = (jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+                + tx * TW).astype(f32) * inv_l
         xs = []
-        cur = jnp.ones((TW, 1), f32)
-        base = xn[:, :1]
+        cur = jnp.ones((1, TW), f32)
         for a in range(_KPAD):
             if a > 0:
                 cur = cur * base
             xs.append(cur if a < 5 else jnp.zeros_like(cur))
-        x_mat = jnp.concatenate(xs, axis=1)                # [TW, 8]
+        xt = jnp.concatenate(xs, axis=0)                   # [8, TW]
 
+    hi = jax.lax.Precision.HIGHEST
+    # First-stage contraction for all nk maps over the lane (x) axis:
+    # [nk*TR, TW] x [8, TW] -> [nk*TR, 8], accumulated across the row
+    # band's tx steps in VMEM scratch; the y-power reduction runs ONCE per
+    # (pair, row band) at the last tx step instead of per tile.
+    w_all = jnp.concatenate([m * ok for m in maps], axis=0)  # [nk*TR, TW]
+    wx_all = jax.lax.dot_general(
+        w_all, xt, (((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=hi)            # [nk*TR, 8]
+
+    @pl.when(tx == 0)
+    def _():
+        wx_ref[...] = wx_all
+
+    @pl.when(tx > 0)
+    def _():
+        wx_ref[...] += wx_all
+
+    @pl.when(tx == pl.num_programs(2) - 1)
+    def _():
         # y powers use GLOBAL row coordinates: yoff is this shard's global
         # row origin (0 on a single device), the same global moment basis
         # as jacobian_fields(y_offset=...).
-        yn = (jax.lax.broadcasted_iota(jnp.int32, (_KPAD, TR), 1)
-              + ty * TR + yoff).astype(f32) * inv_l
+        ybase = (jax.lax.broadcasted_iota(jnp.int32, (1, TR), 1)
+                 + ty * TR + yoff).astype(f32) * inv_l
         ys = []
         cur = jnp.ones((1, TR), f32)
-        base = yn[:1, :]
         for b in range(_KPAD):
             if b > 0:
-                cur = cur * base
+                cur = cur * ybase
             ys.append(cur if b < 5 else jnp.zeros_like(cur))
         y_mat = jnp.concatenate(ys, axis=0)                # [8, TR]
-
-    hi = jax.lax.Precision.HIGHEST
-    # One batched first-stage contraction for all nk maps ([nk*TR, TW] @
-    # [TW, 8]), then nk tiny [8, TR] @ [TR, 8] reductions.
-    w_all = jnp.concatenate([m * ok for m in maps], axis=0)  # [nk*TR, TW]
-    wx_all = jnp.dot(w_all, x_mat, preferred_element_type=f32, precision=hi)
-    for k in range(nk):
-        m = jnp.dot(y_mat, wx_all[k * TR : (k + 1) * TR],
-                    preferred_element_type=f32, precision=hi)
-        m_ref[0, k] += m
+        wx_acc = wx_ref[...]
+        for k in range(nk):
+            m = jnp.dot(y_mat, wx_acc[k * TR : (k + 1) * TR],
+                        preferred_element_type=f32, precision=hi)
+            m_ref[0, k] += m
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -290,7 +304,10 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
             out_specs=pl.BlockSpec((1, nk, 8, 8),
                                    lambda bb, ty, tx, *_: (bb, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((c, TR, TW), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((c, TR, TW), jnp.float32),       # warped tile
+                pltpu.VMEM((nk * TR, 8), jnp.float32),      # wx row-band acc
+            ],
         )
         kernel = functools.partial(_iter_kernel, **kw)
         return pl.pallas_call(
@@ -326,6 +343,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c, TR, TW), jnp.float32),       # warped tile
+            pltpu.VMEM((nk * TR, 8), jnp.float32),      # wx row-band acc
             pltpu.VMEM((2, c, wh, wp), jnp.float32),    # band window x2
             pltpu.SemaphoreType.DMA((2,)),              # window DMA sems
             pltpu.VMEM((c, HB, TW), jnp.float32),       # general-path band

@@ -262,6 +262,12 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans,
                     out.append(gs[j] + jnp.where(inb, t, 0.0))
             return tuple(out)
 
+        # Static 3-chunk unroll. A value-returning lax.cond around the 3rd
+        # chunk (it is only needed when the tap span straddles 3 column
+        # chunks — an offset-dependent ~unlucky minority of tiles) was
+        # A/B-measured in round 5 at a NET LOSS (~+0.1 ms/batch): the
+        # scf.if materializes/phis the five [C*band, 128] accumulators,
+        # costing more than the skipped gathers save. Keep it static.
         nchunk = 1 if "chunk1" in ablate else (2 if "chunk2" in ablate else 3)
         gs = tuple(jnp.zeros((chf, TW), f32) for _ in range(5))
         for k in range(nchunk):

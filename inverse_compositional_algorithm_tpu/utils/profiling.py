@@ -32,6 +32,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if jax.config.jax_compilation_cache_dir or os.environ.get(
             "JAX_COMPILATION_CACHE_DIR"):
         return
+    if jax.default_backend() != "tpu":
+        # TPU-only: XLA:CPU caches executables AOT-compiled against the
+        # exact host CPU feature set; reloading them on a machine with
+        # different features SIGILLs/segfaults the process (observed: a
+        # cache populated on one round's node crashed the next round's
+        # pytest at backend.deserialize_executable). CPU compiles are
+        # seconds anyway — only the minutes-long tunneled TPU compiles
+        # are worth persisting, and TPU executables carry no host-CPU
+        # feature dependence.
+        return
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache", "ica_tpu_jax")
     jax.config.update("jax_compilation_cache_dir", path)

@@ -56,6 +56,30 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    XLA:CPU's compiler segfaults deterministically when the ~150th-plus
+    executable of the suite is a large shard_map program (observed at
+    tests/test_tiled.py's pyramidal compiles, 73% into the suite, across
+    multiple runs and cache configurations; the same compiles succeed in
+    a fresh process). Freeing the accumulated executables between
+    modules keeps the process under whatever compiler-state limit is
+    being hit. Costs a few re-compiles for shapes shared across modules.
+    """
+    yield
+    jax.clear_caches()
+    try:
+        from inverse_compositional_algorithm_tpu.parallel.tiled import (
+            _build_tiled_fn,
+        )
+
+        _build_tiled_fn.cache_clear()
+    except Exception:
+        pass
+
+
 @pytest.fixture(scope="session")
 def smooth_image():
     """Deterministic smooth RGB test image [140, 180, 3] in 0..255."""
