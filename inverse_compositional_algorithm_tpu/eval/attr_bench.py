@@ -36,6 +36,9 @@ VARIANTS = [
     "nofold",      # drop the top-row clamp fold concat
     "cheapmom",    # skip the moment power-matrix construction
     "norho",       # linear rho' instead of the Charbonnier evaluation
+    "rollgather",  # 6 dynamic lane-rotates + selects replace the 15 tap
+    #                gathers (round-5: saves only 0.107 ms — the gathers
+    #                are nearly free, the kernel is issue-bound)
     "nomask,chunk2,cheapwy,nofold",   # combined warp-side savings
 ]
 
@@ -48,7 +51,7 @@ def time_variant(plan, gx, gy, lam, height, width, robust, ablate,
     def scan_k(gx, gy, k: int):
         def step(acc, _):
             m = fused_iter_moments(
-                plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+                plan.i2p, plan.tplp,
                 gx + acc * 1e-12, gy, lam, height=height, width=width,
                 robust=robust, nanifoutside=True, delta=10,
                 stream=plan.stream, ablate=ablate)

@@ -242,7 +242,7 @@ def kernel_roofline(batch: int, height: int, width: int,
     def scan_k(gx, gy, k: int):
         def step(acc, _):
             m = fused_iter_moments(
-                plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+                plan.i2p, plan.tplp,
                 gx + acc * 1e-12, gy, lam, height=height, width=width,
                 robust=robust, nanifoutside=True, delta=10)
             return acc + m.sum(), None
@@ -347,7 +347,7 @@ def vpu_floor(batch: int, height: int, width: int) -> dict:
     return {"floor_ms_per_batch": round(ms, 3), "floor_samples": samp}
 
 
-def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
+def run_benchmark(batch: int = 8, height: int = 388, width: int = 584,
                   transform: TransformType = TransformType.HOMOGRAPHY,
                   robust: RobustLoss = RobustLoss.CHARBONNIER,
                   nscales: int = 5, repeats: int = 4, repeats0: int = 1,
@@ -360,6 +360,12 @@ def run_benchmark(batch: int = 16, height: int = 388, width: int = 584,
     on-device scan (see module docstring), so transport round-trips,
     host<->device transfers and dispatch overhead cancel; every pair runs
     its full per-pair convergence in every counted step.
+
+    batch=8 is the measured per-chip throughput peak (PERF.md round-5
+    batch sweep: 480 pairs/s at 8 vs 457 at 16 vs 415 at 64 — the
+    coarsest-level while_loop trip tail grows with batch); large pair
+    sets scale across chips via parallel/sharded.py rather than by
+    growing the per-chip batch.
 
     With full=True the record also carries (round-2 review items):
       * a hard-motion line (large mixed motions incl. rotations) so

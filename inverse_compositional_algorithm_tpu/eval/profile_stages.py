@@ -108,14 +108,15 @@ def profile_stages(batch: int = 16, height: int = 388, width: int = 584,
 
     add("fused_iter_moments (robust)",
         lambda acc, gx, gy: acc + fused_iter_moments(
-            plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+            plan.i2p, plan.tplp,
             gx + acc * eps, gy, lam, height=height, width=width,
             robust=robust, nanifoutside=True, delta=10).sum(),
         (gx, gy))
 
+    plan_q = plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy, robust=False)
     add("fused_iter_moments (quadratic)",
         lambda acc, gx, gy: acc + fused_iter_moments(
-            plan.i2p, plan.i1p, plan.ixp, plan.iyp, None,
+            plan_q.i2p, plan_q.tplp,
             gx + acc * eps, gy, lam, height=height, width=width,
             robust=None, nanifoutside=True, delta=10).sum(),
         (gx, gy))
@@ -203,7 +204,7 @@ def profile_large_frame(batch: int = 4, height: int = 720,
 
     add(f"fused_iter_moments stream ({width}x{height})",
         lambda acc, gx, gy: acc + fused_iter_moments(
-            plan.i2p, plan.i1p, plan.ixp, plan.iyp, plan.g3p,
+            plan.i2p, plan.tplp,
             gx + acc * eps, gy, lam, height=height, width=width,
             robust=RobustLoss.CHARBONNIER, nanifoutside=True, delta=10,
             stream=plan.stream).sum(),

@@ -296,8 +296,7 @@ def ic_solve(
             # runtime, and the kernel no longer needs one).
             gx, gy = transform_grid(s.p, ttype, hh, ww)
             m = fused_iter_moments(
-                fast_iter.i2p, fast_iter.i1p, fast_iter.ixp,
-                fast_iter.iyp, fast_iter.g3p, gx, gy, s.lam,
+                fast_iter.i2p, fast_iter.tplp, gx, gy, s.lam,
                 height=hh, width=ww,
                 robust=robust if is_robust else None,
                 nanifoutside=nanifoutside, delta=delta,

@@ -61,22 +61,22 @@ __all__ = ["FusedIterPlan", "plan_fused_iter", "fused_iter_moments"]
 _KPAD = 8   # moment maps padded to one sublane tile
 
 
-def _iter_kernel(lam_ref, yoff_ref, gx_ref, gy_ref, img_ref, i1_ref,
-                 ix_ref, iy_ref, g3_ref, m_ref, iw_ref, wx_ref, *, height,
+def _iter_kernel(lam_ref, yoff_ref, gx_ref, gy_ref, img_ref, tpl_ref,
+                 m_ref, iw_ref, wx_ref, *, height,
                  width, chans, inv_l, robust: RobustLoss | None,
                  nanifoutside: bool, delta: int, nk: int, grid_h: int,
                  ablate: frozenset = frozenset()):
     # lam is a scalar-prefetch [B] array (SMEM); pick this pair's entry.
     lam = lam_ref[pl.program_id(0)]
     _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, ResidentImage(img_ref),
-                 i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref, wx_ref,
+                 tpl_ref, m_ref, iw_ref, wx_ref,
                  height=height, width=width, chans=chans, inv_l=inv_l,
                  robust=robust, nanifoutside=nanifoutside, delta=delta,
                  nk=nk, grid_h=grid_h, ablate=ablate)
 
 
 def _iter_kernel_stream(ys_ref, lam_ref, yoff_ref, gx_ref, gy_ref, img_ref,
-                        i1_ref, ix_ref, iy_ref, g3_ref, m_ref, iw_ref,
+                        tpl_ref, m_ref, iw_ref,
                         wx_ref, win_ref, wsem_ref, gband_ref, gsem_ref, *,
                         height, width, chans, inv_l,
                         robust: RobustLoss | None,
@@ -87,15 +87,15 @@ def _iter_kernel_stream(ys_ref, lam_ref, yoff_ref, gx_ref, gy_ref, img_ref,
     img.gband = gband_ref
     img.gsem = gsem_ref
     lam = lam_ref[pl.program_id(0)]
-    _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, img, i1_ref, ix_ref,
-                 iy_ref, g3_ref, m_ref, iw_ref, wx_ref, height=height,
+    _iter_common(lam, yoff_ref[0], gx_ref, gy_ref, img, tpl_ref,
+                 m_ref, iw_ref, wx_ref, height=height,
                  width=width, chans=chans, inv_l=inv_l, robust=robust,
                  nanifoutside=nanifoutside, delta=delta, nk=nk,
                  grid_h=grid_h, ablate=ablate)
 
 
-def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
-                 g3_ref, m_ref, iw_ref, wx_ref, *, height, width, chans,
+def _iter_common(lam, yoff, gx_ref, gy_ref, img, tpl_ref,
+                 m_ref, iw_ref, wx_ref, *, height, width, chans,
                  inv_l, robust: RobustLoss | None, nanifoutside: bool,
                  delta: int, nk: int, grid_h: int,
                  ablate: frozenset = frozenset()):
@@ -129,23 +129,27 @@ def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
     valid = ((gx >= d) & (gx <= (width - 1) - d)
              & (gy >= d) & (gy <= (height - 1) - d)).astype(f32)
 
+    # The template operands stream as ONE packed plane per tile (i1: planes
+    # [0, C), ix: [C, 2C), iy: [2C, 3C), robust (gxx, gxy, gyy): [3C, 3C+3))
+    # — a single DMA stream instead of four per tile.
     u = jnp.zeros((TR, TW), f32)
     v = jnp.zeros((TR, TW), f32)
     t2 = jnp.zeros((TR, TW), f32)
     for cc in range(chans):
-        i1c = i1_ref[0, cc]
+        i1c = tpl_ref[0, cc]
         if nanifoutside:
             dic = (iw_ref[cc] - i1c) * valid
         else:
             dic = iw_ref[cc] * valid - i1c
-        u = u + ix_ref[0, cc] * dic
-        v = v + iy_ref[0, cc] * dic
+        u = u + tpl_ref[0, chans + cc] * dic
+        v = v + tpl_ref[0, 2 * chans + cc] * dic
         if robust is not None:
             t2 = t2 + dic * dic
 
     if robust is not None:
         rho = t2 * lam if "norho" in ablate else rhop(t2, lam, robust)
-        maps = [rho * g3_ref[0, k] for k in range(3)] + [rho * u, rho * v]
+        maps = ([rho * tpl_ref[0, 3 * chans + k] for k in range(3)]
+                + [rho * u, rho * v])
     else:
         maps = [u, v]
 
@@ -216,7 +220,7 @@ def _iter_common(lam, yoff, gx_ref, gy_ref, img, i1_ref, ix_ref, iy_ref,
 @functools.partial(jax.jit, static_argnames=(
     "height", "width", "robust", "nanifoutside", "delta", "interpret",
     "stream", "ablate"))
-def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
+def fused_iter_moments(i2p, tplp, gx, gy, lam,
                        height: int, width: int,
                        robust: RobustLoss | None, nanifoutside: bool,
                        delta: int, interpret: bool = False,
@@ -228,12 +232,13 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
       i2p: [B, C, Hp, Wp] planar moving image (pad_planar) — always the
         FULL frame (replicated under row sharding: a parametric warp can
         fetch pixels from anywhere).
-      i1p, ixp, iyp: [B, C, Hp', Wp] planar template / its gradients
-        (boundary-band pre-masked, like models/ic.py); under row sharding
-        these are pad_planar of the LOCAL row shard.
-      g3p: [B, 3, Hp', Wp] planar (gxx, gxy, gyy) moments; pass None on the
-        quadratic path (K = 2: u, v) — a 1-plane dummy is streamed instead
-        so no unused gradient-moment bytes leave HBM.
+      tplp: [B, P, Hp', Wp] PACKED planar template operands — i1, ix, iy
+        (each C planes, boundary-band pre-masked like models/ic.py), plus
+        (gxx, gxy, gyy) when robust (P = 3C + 3; P = 3C quadratic) — one
+        BlockSpec/DMA stream per tile instead of four. Under row sharding
+        these are built from the LOCAL row shard (plan_fused_iter packs
+        them). A robust-packed plan (P = 3C + 3) is also accepted on the
+        quadratic path; the 3 moment planes still stream but are unread.
       gx, gy: [B, H_out, W] warp coordinates in GLOBAL frame coordinates;
         H_out is the full height normally, the local shard rows under SP.
       lam: [B] (or scalar, broadcast) per-pair runtime robust threshold
@@ -256,6 +261,12 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
       (after lax.psum over the tile axis when row-sharded).
     """
     b, c, hp8, wp = i2p.shape
+    npl = tplp.shape[1]
+    if robust is not None and npl < 3 * c + 3:
+        raise ValueError(
+            f"robust path needs P = 3C+3 packed planes, got {npl} (C={c})")
+    if npl < 3 * c:
+        raise ValueError(f"packed template needs >= 3C planes, got {npl}")
     h_out, w_out = gx.shape[-2:]
     hp = -(-h_out // TR) * TR
     wg = -(-w_out // TW) * TW
@@ -264,9 +275,6 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         gx = jnp.pad(gx, pad, mode="edge")
         gy = jnp.pad(gy, pad, mode="edge")
     nk = 2 if robust is None else 5
-    if robust is None:
-        g3p = i2p[:, :1]     # 1-plane dummy, never read by the kernel
-    ng3 = g3p.shape[1]
     lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (b,))
     yoff = (jnp.zeros((1,), jnp.int32) if y_offset is None
             else jnp.asarray(y_offset, jnp.int32).reshape(1))
@@ -288,16 +296,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
                 pl.BlockSpec((1, c, hp8, wp),
                              lambda bb, ty, tx, *_: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c, TR, TW),
-                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c, TR, TW),
-                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c, TR, TW),
-                             lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ng3, TR, TW),
+                pl.BlockSpec((1, npl, TR, TW),
                              lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                              memory_space=pltpu.VMEM),
             ],
@@ -315,7 +314,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(lam, yoff, gx, gy, i2p, i1p, ixp, iyp, g3p)
+        )(lam, yoff, gx, gy, i2p, tplp)
 
     # ---- streaming (large-frame) mode ----
     wh = stream_window_rows(height, width, c)
@@ -328,13 +327,7 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, TW), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # moving image in HBM
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TR, TW), lambda bb, ty, tx, *_: (bb, 0, ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ng3, TR, TW),
+            pl.BlockSpec((1, npl, TR, TW),
                          lambda bb, ty, tx, *_: (bb, 0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
@@ -355,19 +348,19 @@ def fused_iter_moments(i2p, i1p, ixp, iyp, g3p, gx, gy, lam,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(ys, lam, yoff, gx, gy, i2p, i1p, ixp, iyp, g3p)
+    )(ys, lam, yoff, gx, gy, i2p, tplp)
 
 
 @dataclass(frozen=True)
 class FusedIterPlan:
     """Static feasibility + precomputed planar operands for the fused
-    iteration (built once per ic_solve; everything here is loop-invariant)."""
+    iteration (built once per ic_solve; everything here is loop-invariant).
+
+    `tplp` packs i1/ix/iy (+ gxx/gxy/gyy when robust) into ONE planar
+    array so the kernel streams a single template block per tile."""
 
     i2p: Any
-    i1p: Any
-    ixp: Any
-    iyp: Any
-    g3p: Any
+    tplp: Any
     stream: bool = False   # large-frame HBM-streaming mode (see plan_warp_mode)
 
 
@@ -379,7 +372,7 @@ def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
     resident mode (plan_warp_mode == "resident"); larger frames — 720p,
     1080p, 4K — keep the moving image in HBM and stream row-band windows
     ("stream"). When robust is False the (gxx, gxy, gyy) planes are not
-    packed (the quadratic kernel never reads them).
+    packed (the quadratic kernel never reads them, P = 3C).
     """
     from .warp import plan_warp_mode
 
@@ -387,12 +380,11 @@ def plan_fused_iter(i1, i2, ix, iy, gxx, gxy, gyy,
     mode = plan_warp_mode(h, w, c, i1.dtype)
     if mode is None:
         return None
+    parts = [i1, ix, iy]
+    if robust:
+        parts.append(jnp.stack([gxx, gxy, gyy], axis=-1))
     return FusedIterPlan(
         i2p=pad_planar(i2),
-        i1p=pad_planar(i1),
-        ixp=pad_planar(ix),
-        iyp=pad_planar(iy),
-        g3p=(pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1))
-             if robust else None),
+        tplp=pad_planar(jnp.concatenate(parts, axis=-1)),
         stream=(mode == "stream"),
     )

@@ -152,6 +152,21 @@ def padded_height(height: int) -> int:
     return -(-(height + 2) // 8) * 8
 
 
+def lane_gather(band, li, rows):
+    """Per-lane dynamic gather `band[r, li[r, x]]` -> [rows, TW].
+
+    bf16 operands were A/B'd in round 5 (VERDICT item 1's "bf16 planar
+    operands" candidate) and are UNSUPPORTED here: Mosaic's
+    tpu.dynamic_gather rejects i32 indices with 16-bit data ("different
+    bitwidths"), and the i16-index form (via a raw lax.gather, since
+    jnp.take_along_axis force-converts indices to i32) fails with "8- and
+    16-bit dynamic gather only supported along 2nd minor dimension" —
+    lane-axis 16-bit gathers simply don't exist on this target, so the
+    planar operands stay f32."""
+    return jnp.take_along_axis(band, jnp.broadcast_to(li, (rows, TW)),
+                               axis=1)
+
+
 def keys_eval(t):
     """Keys (a=-0.5) cubic kernel evaluated at arbitrary offsets.
 
@@ -249,25 +264,47 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans,
         def chunk_at(c, gs, cxs=cxs):
             off = pl.multiple_of(jnp.minimum(c, nch - 1) * TW, TW)
             band = img.fast_band(ym, hbf_t, off, chans)
+            if "rollgather" in ablate:
+                # Measurement-only: price a roll+select tap pass (exact
+                # only when the per-lane shift d = x0mn - x spans <= 2
+                # values and no x-clip is active; WRONG pixels otherwise).
+                # 6 per-tile dynamic lane-rotates + a 2-way select per tap
+                # replace the 5 per-lane gathers.
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+                dm = x0mn - lane
+                s = jnp.min(dm)
+                m0 = jnp.broadcast_to(dm == s, (chf, TW))
+                rs = [pltpu.roll(band, -(s + k - 1 - c * TW), 1)
+                      for k in range(6)]
+                out = []
+                for j in range(5):
+                    loc = cxs[j] - c * TW
+                    inb = (loc >= 0) & (loc < TW)
+                    t = jnp.where(m0, rs[j], rs[j + 1] if j + 1 < 6
+                                  else rs[j])
+                    out.append(gs[j] + jnp.where(inb, t, 0.0))
+                return tuple(out)
             out = []
             for j in range(5):
                 loc = cxs[j] - c * TW
                 inb = (loc >= 0) & (loc < TW)
                 li = jnp.clip(loc, 0, TW - 1)
-                t = jnp.take_along_axis(
-                    band, jnp.broadcast_to(li, (chf, TW)), axis=1)
+                t = lane_gather(band, li, chf)
                 if "nomask" in ablate:
                     out.append(gs[j] + t)
                 else:
                     out.append(gs[j] + jnp.where(inb, t, 0.0))
             return tuple(out)
 
-        # Static 3-chunk unroll. A value-returning lax.cond around the 3rd
-        # chunk (it is only needed when the tap span straddles 3 column
-        # chunks — an offset-dependent ~unlucky minority of tiles) was
-        # A/B-measured in round 5 at a NET LOSS (~+0.1 ms/batch): the
-        # scf.if materializes/phis the five [C*band, 128] accumulators,
-        # costing more than the skipped gathers save. Keep it static.
+        # Static 3-chunk unroll. Two data-dependent reductions were
+        # A/B-measured on chip and REJECTED: (a) a value-returning
+        # lax.cond around the 3rd chunk (+0.1 ms — the scf.if phis the
+        # five [C*band, 128] accumulators); (b) round 5: splitting the
+        # fast tier into disjoint 2-chunk / 3-chunk pl.when bodies
+        # (+0.34 ms — the 4-body duplication costs more in code/schedule
+        # than the skipped chunk saves; post-epilogue-restructure the
+        # 'chunk2' ablation itself saves ~0, the 3rd chunk hides in the
+        # schedule). Keep it static.
         nchunk = 1 if "chunk1" in ablate else (2 if "chunk2" in ablate else 3)
         gs = tuple(jnp.zeros((chf, TW), f32) for _ in range(5))
         for k in range(nchunk):
@@ -356,8 +393,7 @@ def warp_tile(gx, gy, img, write_row, *, height, width, chans,
                         loc = gtx[i] - c * TW
                         inb = (loc >= 0) & (loc < TW)
                         li = jnp.clip(loc, 0, TW - 1)
-                        g = jnp.take_along_axis(
-                            band, jnp.broadcast_to(li, (ch, TW)), axis=1)
+                        g = lane_gather(band, li, ch)
                         e = e + g * jnp.where(inb, wx4[i], 0.0)
                     return e
 

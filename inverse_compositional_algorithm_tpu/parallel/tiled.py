@@ -179,11 +179,12 @@ def _build_tiled_fn(
         ix, iy = _halo_gradients(i1_loc, nt, y0, hh, delta, nanifoutside)
         gxx, gxy, gyy = grad_moments(ix, iy)
         if fused:
-            i1p = pad_planar(i1_loc)
-            ixp = pad_planar(ix)
-            iyp = pad_planar(iy)
-            g3p = (pad_planar(jnp.stack([gxx, gxy, gyy], axis=-1))
-                   if is_robust else None)
+            # Same packed-template layout as plan_fused_iter, built from
+            # the LOCAL row shard.
+            parts = [i1_loc, ix, iy]
+            if is_robust:
+                parts.append(jnp.stack([gxx, gxy, gyy], axis=-1))
+            tplp = pad_planar(jnp.concatenate(parts, axis=-1))
         jx, jy = jacobian_fields(ttype, h_loc, ww, dtype=dt, scale=scale,
                                  y_offset=y0)
 
@@ -211,7 +212,7 @@ def _build_tiled_fn(
                 # basis, so the psum'd partials are exactly the
                 # full-frame moments of models.ic's fused path.
                 m = fused_iter_moments(
-                    i2p, i1p, ixp, iyp, g3p, gx, gy, s.lam,
+                    i2p, tplp, gx, gy, s.lam,
                     height=hh, width=ww,
                     robust=robust if is_robust else None,
                     nanifoutside=nanifoutside, delta=delta,

@@ -79,9 +79,10 @@ def _oracle(e, robust, lam, nanifoutside=True):
 
 
 def _fused(e, robust, lam, nanifoutside=True):
+    # A robust-packed plan (P = 3C+3) also serves the quadratic path (the
+    # 3 moment planes stream but are unread).
     p = e["plan"]
-    m = fused_iter_moments(p.i2p, p.i1p, p.ixp, p.iyp,
-                           p.g3p if robust is not None else None,
+    m = fused_iter_moments(p.i2p, p.tplp,
                            e["gx"], e["gy"], jnp.float32(lam),
                            height=e["h"], width=e["w"], robust=robust,
                            nanifoutside=nanifoutside, delta=e["delta"],

@@ -102,10 +102,9 @@ def test_stream_fused_iter_matches_resident(robust):
     lam = jnp.full((2,), 5.0, jnp.float32)
     kw = dict(height=h, width=w, robust=robust, nanifoutside=True, delta=4,
               interpret=True)
-    m_res = fused_iter_moments(plan.i2p, plan.i1p, plan.ixp, plan.iyp,
-                               plan.g3p, gx, gy, lam, **kw)
-    m_stm = fused_iter_moments(plan.i2p, plan.i1p, plan.ixp, plan.iyp,
-                               plan.g3p, gx, gy, lam, stream=True, **kw)
+    m_res = fused_iter_moments(plan.i2p, plan.tplp, gx, gy, lam, **kw)
+    m_stm = fused_iter_moments(plan.i2p, plan.tplp, gx, gy, lam,
+                               stream=True, **kw)
     np.testing.assert_array_equal(np.asarray(m_res), np.asarray(m_stm))
 
 
