@@ -139,9 +139,7 @@ def evaluate_occlusion(images, base: AlignConfig = AlignConfig(),
     p0 = jnp.zeros((b, 8), jnp.float32)
     out = []
     for r in RobustLoss:
-        cfg = base.replace(
-            robust=r, lam=5.0 if r is RobustLoss.TRUNCATED_QUADRATIC
-            else base.lam)
+        cfg = base.replace(robust=r)
         if cfg.use_pallas and jax.default_backend() != "tpu":
             cfg = cfg.replace(use_pallas=False)
         res = _align_batched(i1, i2, p0, cfg)
@@ -222,13 +220,19 @@ def evaluate_transforms(images, base: AlignConfig = AlignConfig(),
 
 def evaluate_robust_losses(images, base: AlignConfig = AlignConfig(),
                            magnitude: float = 3.0):
-    """Sweep over robust error functions (reference colab cell 24)."""
-    out = []
-    for r in RobustLoss:
-        lam = 5.0 if r is RobustLoss.TRUNCATED_QUADRATIC else base.lam
-        out.append(evaluate(images, base.replace(robust=r, lam=lam),
-                            magnitude))
-    return out
+    """Sweep over robust error functions (reference colab cell 24).
+
+    Every loss runs the reference's annealed-lambda schedule (lam=0 ->
+    LAMBDA_0 80 shrinking x0.9 to LAMBDA_N 5). Round 5 measured WHY that
+    matters for TRUNCATED_QUADRATIC specifically: a FIXED lam=5 hard
+    truncation discards every informative edge pixel on saturation-
+    clipped high-contrast content (3 of the 64-bank's hostile contents
+    fail at mae up to 19.8 px), while the graduated schedule — weights
+    ~quadratic early, truncating only once near convergence — solves the
+    same pairs to mae 7.6e-5 (PERF.md round-5 'truncated-quadratic
+    threshold sensitivity')."""
+    return [evaluate(images, base.replace(robust=r), magnitude)
+            for r in RobustLoss]
 
 
 def evaluate_pyramid_levels(images, base: AlignConfig = AlignConfig(),

@@ -59,6 +59,30 @@ def test_robust_beats_quadratic_under_occlusion():
     assert ch < 0.85 * quad, (ch, quad)
 
 
+def test_truncated_quadratic_needs_annealed_lambda_on_clipped_content():
+    """Round-5 hostile-bank find (PERF.md 'truncated-quadratic threshold
+    sensitivity'): a FIXED small truncation threshold zeroes every
+    informative edge pixel's weight on saturation-clipped high-contrast
+    content — the solver reports |Dp| ~ 0 while sitting far from the
+    optimum — whereas the reference's annealed 80->5 schedule (lam=0)
+    solves the same pairs. Pins both halves of that measurement."""
+    rng = np.random.default_rng(3)
+    b, s = 4, 128
+    tex = np.asarray(gaussian_blur(
+        jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)), jnp.float32), 2.0))
+    # crush ~40% of pixels into 0/255 plateaus (run_eval's hostile class)
+    tex = np.clip((tex - 0.5) * 3.5 + 0.5, 0.0, 1.0) * 255.0
+    from inverse_compositional_algorithm_tpu.eval.harness import make_pairs
+
+    i1, i2, gt = make_pairs(tex.astype(np.float32),
+                            TransformType.TRANSLATION, magnitude=2.0,
+                            seed=0)
+    fixed = _mae(i1, i2, gt, RobustLoss.TRUNCATED_QUADRATIC, lam=5.0)
+    annealed = _mae(i1, i2, gt, RobustLoss.TRUNCATED_QUADRATIC, lam=0.0)
+    assert annealed < 2e-3, annealed
+    assert fixed > 10 * annealed, (fixed, annealed)
+
+
 def test_clean_pairs_all_losses_equivalent():
     """Control: without occlusion the losses are indistinguishable (the
     regime every round-4 eval lived in) — pins that the separation above
